@@ -1,0 +1,278 @@
+"""Synthetic RGBD scene generator (numpy, host-side, test/bench data plane).
+
+The reference validates end-to-end on TUM fr3 image sequences
+(`data/rgb_full_demo.txt`, SURVEY.md §4); those images are not shipped, so
+the rebuild's integration tests render their own ground-truthed RGBD
+sequences: a textured room (floor + walls, for plane landmarks) with
+textured boxes (object landmarks), ray-cast to grayscale + metric depth +
+exact Tcw poses + 2D detection boxes.
+
+This is deliberately plain numpy: it runs once per test/bench session on
+host, produces fixed-shape arrays, and never enters the jit path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from eao_fusion_tpu.config import CameraConfig
+
+
+# ------------------------------------------------------------------ geometry
+
+@dataclass
+class RectPrim:
+    """Finite textured rectangle: origin corner, two edge vectors, normal."""
+    origin: np.ndarray   # [3]
+    eu: np.ndarray       # [3] edge 1 (texture u axis)
+    ev: np.ndarray       # [3] edge 2 (texture v axis)
+    tex_id: int
+
+
+@dataclass
+class BoxPrim:
+    """Axis-aligned textured box (an 'object' with a class id)."""
+    lo: np.ndarray       # [3]
+    hi: np.ndarray       # [3]
+    tex_id: int
+    class_id: int = 0
+
+
+@dataclass
+class Scene:
+    rects: List[RectPrim]
+    boxes: List[BoxPrim]
+    textures: np.ndarray  # [T, S, S] float32 in [0,1]
+
+
+@dataclass
+class SyntheticFrame:
+    gray: np.ndarray       # [H, W] float32 in [0,1]
+    depth: np.ndarray      # [H, W] float32 meters (0 = invalid)
+    tcw: np.ndarray        # [7] ground-truth world->camera pose
+    timestamp: float
+    boxes: np.ndarray      # [B, 6] (class, x, y, w, h, score); B may be 0
+
+
+@dataclass
+class SyntheticSequence:
+    frames: List[SyntheticFrame]
+    camera: CameraConfig
+    scene: Scene
+
+    def gt_tcw(self) -> np.ndarray:
+        return np.stack([f.tcw for f in self.frames])
+
+    def timestamps(self) -> np.ndarray:
+        return np.array([f.timestamp for f in self.frames])
+
+
+def _blocky_texture(r: np.random.Generator, size: int = 512) -> np.ndarray:
+    """Sharp-edged multi-scale block texture: dense FAST corners everywhere."""
+    tex = np.zeros((size, size), np.float32)
+    for cells, w in ((8, 0.35), (24, 0.4), (64, 0.25)):
+        grid = r.uniform(0.0, 1.0, (cells, cells)).astype(np.float32)
+        idx = (np.arange(size) * cells // size)
+        tex += w * grid[np.ix_(idx, idx)]
+    # a few high-contrast speckles
+    speck = r.uniform(0.0, 1.0, (size // 4, size // 4)) > 0.92
+    tex[::4, ::4][speck] = 1.0
+    return np.clip(tex, 0.0, 1.0)
+
+
+def make_room_scene(seed: int = 0, n_objects: int = 4) -> Scene:
+    """A room in the first-camera frame (x right, y down, z forward):
+    floor at y=+1.2, back wall at z=+4.5, side walls, boxes on the floor."""
+    r = np.random.default_rng(seed)
+    textures = np.stack([_blocky_texture(r) for _ in range(4 + n_objects)])
+
+    def v(*a):
+        return np.array(a, np.float32)
+
+    rects = [
+        # floor: spans x in [-3,3], z in [0.2, 4.5]
+        RectPrim(v(-3.0, 1.2, 0.2), v(6.0, 0, 0), v(0, 0, 4.3), 0),
+        # back wall: x in [-3,3], y in [-2,1.2]
+        RectPrim(v(-3.0, -2.0, 4.5), v(6.0, 0, 0), v(0, 3.2, 0), 1),
+        # left wall
+        RectPrim(v(-3.0, -2.0, 0.2), v(0, 0, 4.3), v(0, 3.2, 0), 2),
+        # right wall
+        RectPrim(v(3.0, -2.0, 0.2), v(0, 0, 4.3), v(0, 3.2, 0), 3),
+    ]
+    boxes = []
+    for i in range(n_objects):
+        cx = r.uniform(-1.8, 1.8)
+        cz = r.uniform(2.0, 4.0)
+        w, h, d = r.uniform(0.25, 0.55, 3)
+        lo = v(cx - w / 2, 1.2 - h, cz - d / 2)
+        hi = v(cx + w / 2, 1.2, cz + d / 2)
+        boxes.append(BoxPrim(lo, hi, 4 + i, class_id=i % 8))
+    return Scene(rects, boxes, textures)
+
+
+# ---------------------------------------------------------------- ray casting
+
+def _intersect_rects(o, d, rects) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched ray/finite-rect intersection. o,d: [N,3]. Returns (t, tex_uv, tex_id)."""
+    n = o.shape[0]
+    best_t = np.full(n, np.inf, np.float32)
+    best_uv = np.zeros((n, 2), np.float32)
+    best_tex = np.full(n, -1, np.int32)
+    for rect in rects:
+        nrm = np.cross(rect.eu, rect.ev)
+        nrm = nrm / np.linalg.norm(nrm)
+        denom = d @ nrm
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = ((rect.origin - o) @ nrm) / denom
+        hit = o + t[:, None] * d
+        rel = hit - rect.origin
+        lu2 = rect.eu @ rect.eu
+        lv2 = rect.ev @ rect.ev
+        u = (rel @ rect.eu) / lu2
+        vq = (rel @ rect.ev) / lv2
+        ok = (t > 0.05) & (u >= 0) & (u <= 1) & (vq >= 0) & (vq <= 1) & (t < best_t)
+        best_t = np.where(ok, t, best_t)
+        best_uv[ok] = np.stack([u[ok], vq[ok]], axis=-1)
+        best_tex = np.where(ok, rect.tex_id, best_tex)
+    return best_t, best_uv, best_tex
+
+
+def _intersect_boxes(o, d, boxes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = o.shape[0]
+    best_t = np.full(n, np.inf, np.float32)
+    best_uv = np.zeros((n, 2), np.float32)
+    best_tex = np.full(n, -1, np.int32)
+    inv = 1.0 / np.where(np.abs(d) < 1e-9, 1e-9, d)
+    for box in boxes:
+        t0 = (box.lo - o) * inv
+        t1 = (box.hi - o) * inv
+        tmin = np.minimum(t0, t1).max(axis=1)
+        tmax = np.maximum(t0, t1).min(axis=1)
+        hit_ok = (tmax > tmin) & (tmin > 0.05) & (tmin < best_t)
+        t = tmin
+        p = o + t[:, None] * d
+        # face param: pick the two coords orthogonal to the entry axis
+        entry_axis = np.argmax(np.minimum(t0, t1), axis=1)
+        ext = box.hi - box.lo
+        rel = (p - box.lo) / np.maximum(ext, 1e-9)
+        uv = np.zeros((n, 2), np.float32)
+        for ax in range(3):
+            m = entry_axis == ax
+            other = [a for a in range(3) if a != ax]
+            uv[m] = rel[m][:, other]
+        best_t = np.where(hit_ok, t, best_t)
+        best_uv[hit_ok] = uv[hit_ok]
+        best_tex = np.where(hit_ok, box.tex_id, best_tex)
+    return best_t, best_uv, best_tex
+
+
+def render_frame(scene: Scene, cam: CameraConfig, tcw: np.ndarray,
+                 depth_noise: float = 0.0, rng: Optional[np.random.Generator] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray-cast one frame. tcw is the [7] world->camera pose."""
+    from eao_fusion_tpu.ops import lie  # local import to keep this numpy-only at module load
+    H, W = cam.height, cam.width
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float32) + 0.5,
+                         np.arange(H, dtype=np.float32) + 0.5)
+    dirs_c = np.stack([(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy,
+                       np.ones_like(uu)], axis=-1).reshape(-1, 3)
+    twc = np.asarray(lie.se3_inverse(tcw.astype(np.float32)))
+    Rwc = np.asarray(lie.quat_to_rotmat(twc[:4]))
+    o = np.broadcast_to(twc[4:7], dirs_c.shape).astype(np.float32)
+    d = dirs_c @ Rwc.T
+
+    t_r, uv_r, tex_r = _intersect_rects(o, d, scene.rects)
+    t_b, uv_b, tex_b = _intersect_boxes(o, d, scene.boxes)
+    use_box = t_b < t_r
+    t = np.where(use_box, t_b, t_r)
+    uv = np.where(use_box[:, None], uv_b, uv_r)
+    tex = np.where(use_box, tex_b, tex_r)
+
+    S = scene.textures.shape[1]
+    ti = np.clip((uv * (S - 1)).astype(np.int32), 0, S - 1)
+    gray = np.where(tex >= 0,
+                    scene.textures[np.clip(tex, 0, None), ti[:, 1], ti[:, 0]],
+                    0.0).astype(np.float32)
+    # z-depth (not ray length): z component of camera-frame hit point
+    z = t * dirs_c[:, 2]
+    z = np.where(np.isfinite(t), z, 0.0).astype(np.float32)
+    if depth_noise > 0 and rng is not None:
+        z = np.where(z > 0, z + rng.normal(0, depth_noise, z.shape) * z, 0.0)
+    return gray.reshape(H, W), z.reshape(H, W).astype(np.float32)
+
+
+def project_boxes(scene: Scene, cam: CameraConfig, tcw: np.ndarray,
+                  min_area: float = 400.0) -> np.ndarray:
+    """GT 2D detections: project each object AABB's corners, clip to image.
+    Returns [B, 6] rows (class, x, y, w, h, score)."""
+    from eao_fusion_tpu.ops import lie
+    out = []
+    for box in scene.boxes:
+        corners = np.array([[x, y, z] for x in (box.lo[0], box.hi[0])
+                            for y in (box.lo[1], box.hi[1])
+                            for z in (box.lo[2], box.hi[2])], np.float32)
+        pc = np.asarray(lie.se3_apply(tcw.astype(np.float32), corners))
+        if np.any(pc[:, 2] < 0.1):
+            continue
+        uv = np.asarray(lie.project((cam.fx, cam.fy, cam.cx, cam.cy), pc))
+        x0, y0 = uv.min(axis=0)
+        x1, y1 = uv.max(axis=0)
+        x0, y0 = max(x0, 0.0), max(y0, 0.0)
+        x1, y1 = min(x1, cam.width - 1.0), min(y1, cam.height - 1.0)
+        if (x1 - x0) * (y1 - y0) < min_area:
+            continue
+        out.append([box.class_id, x0, y0, x1 - x0, y1 - y0, 0.95])
+    return np.array(out, np.float32).reshape(-1, 6)
+
+
+def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
+    """Smooth Twc trajectory; returns Tcw poses [N, 7]. Starts at identity."""
+    from eao_fusion_tpu.ops import lie
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        if style == "arc":
+            # sideways arc with mild yaw, keeping the room in view
+            tx = 0.9 * np.sin(s * np.pi * 0.9)
+            ty = 0.08 * np.sin(s * np.pi * 2.0)
+            tz = 0.5 * s
+            yaw = -0.35 * np.sin(s * np.pi * 0.9)
+            pitch = 0.05 * np.sin(s * np.pi * 1.7)
+        elif style == "forward":
+            tx, ty, tz, yaw, pitch = 0.0, 0.0, 1.5 * s, 0.0, 0.0
+        elif style == "loop":
+            # closed loop for loop-closure tests
+            ang = 2 * np.pi * s
+            tx = 0.6 * np.sin(ang)
+            ty = 0.0
+            tz = 0.4 * (1 - np.cos(ang))
+            yaw = 0.25 * np.sin(ang)
+            pitch = 0.0
+        else:
+            raise ValueError(style)
+        w = np.array([pitch, yaw, 0.0], np.float32)
+        q = np.asarray(lie.so3_exp_quat(w))
+        twc = np.concatenate([q, np.array([tx, ty, tz], np.float32)])
+        poses.append(np.asarray(lie.se3_inverse(twc)))
+    return np.stack(poses)
+
+
+def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
+                      camera: Optional[CameraConfig] = None,
+                      depth_noise: float = 0.0, n_objects: int = 4,
+                      fps: float = 30.0) -> SyntheticSequence:
+    cam = camera or CameraConfig()
+    scene = make_room_scene(seed=seed, n_objects=n_objects)
+    tcws = make_trajectory(n_frames, style)
+    r = np.random.default_rng(seed + 1)
+    frames = []
+    for i in range(n_frames):
+        gray, depth = render_frame(scene, cam, tcws[i], depth_noise, r)
+        boxes = project_boxes(scene, cam, tcws[i])
+        frames.append(SyntheticFrame(gray=gray, depth=depth, tcw=tcws[i],
+                                     timestamp=i / fps, boxes=boxes))
+    return SyntheticSequence(frames=frames, camera=cam, scene=scene)
