@@ -1,0 +1,234 @@
+"""The global map as one fixed-capacity pytree.
+
+Functional replacement for the reference's mutex-guarded pointer graph
+(`src/Map.cc`, `src/KeyFrame.cc`, `src/MapPoint.cc`, `src/MapPlane.cc`):
+keyframes, map points, planes and (later) objects live in dense arrays with
+validity masks; observations are the per-keyframe slot table `kf_pt_idx`
+([K, N] map-point id per keypoint slot, −1 = none) — exactly the
+`mvpMapPoints` layout of the reference, but as a tensor.
+
+Derived structure is recomputed on device instead of being maintained
+incrementally under locks:
+  * covisibility graph  = indicator-matrix matmul (see covisibility.py),
+    replacing `KeyFrame::UpdateConnections` (`src/KeyFrame.cc:325`).
+  * point statistics (normals, view ranges, distinctive descriptor) are
+    recomputed batched at keyframe rate.
+
+This removes the reference's race class between Tracking and LocalMapping
+(SURVEY.md §5.2) by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_fusion_tpu.config import SystemConfig
+from eao_fusion_tpu.types import FrameFeatures
+
+
+class MapState(NamedTuple):
+    # --- keyframes -------------------------------------------------------
+    kf_pose: jax.Array        # [K, 7] Tcw
+    kf_valid: jax.Array       # [K] bool
+    kf_frame_id: jax.Array    # [K] int32 source frame index
+    kf_timestamp: jax.Array   # [K] float64-as-float32 pair? store float32 sec
+    # per-keyframe keypoint channels (SoA mirror of FrameFeatures)
+    kf_kp_uv: jax.Array       # [K, N, 2]
+    kf_kp_level: jax.Array    # [K, N] int32
+    kf_kp_angle: jax.Array    # [K, N]
+    kf_kp_depth: jax.Array    # [K, N]
+    kf_kp_uright: jax.Array   # [K, N]
+    kf_kp_valid: jax.Array    # [K, N] bool
+    kf_desc_pm1: jax.Array    # [K, N, 256] int8
+    kf_pt_idx: jax.Array      # [K, N] int32 — map-point id per slot, -1 none
+    # --- map points ------------------------------------------------------
+    pt_xyz: jax.Array         # [P, 3]
+    pt_valid: jax.Array       # [P] bool
+    pt_desc_pm1: jax.Array    # [P, 256] int8 (distinctive descriptor)
+    pt_normal: jax.Array      # [P, 3] mean viewing direction
+    pt_min_dist: jax.Array    # [P] scale-invariance range
+    pt_max_dist: jax.Array    # [P]
+    pt_ref_kf: jax.Array      # [P] int32 creating keyframe
+    pt_found: jax.Array       # [P] int32 (tracking found counter)
+    pt_visible: jax.Array     # [P] int32 (frustum-visible counter)
+    pt_first_frame: jax.Array  # [P] int32 frame id at creation (for culling)
+    # --- planes ----------------------------------------------------------
+    pl_coeff: jax.Array       # [L, 4] world Hessian plane [n, d]
+    pl_valid: jax.Array       # [L] bool
+    pl_boundary: jax.Array    # [L, B, 3] world boundary points
+    pl_boundary_valid: jax.Array  # [L, B] bool
+    pl_obs_count: jax.Array   # [L] int32
+    # --- counters --------------------------------------------------------
+    next_kf: jax.Array        # [] int32 — next free keyframe slot
+    next_pt: jax.Array        # [] int32 — next free point slot (ring-ish)
+    next_pl: jax.Array        # [] int32
+
+    @property
+    def max_kf(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def max_pt(self) -> int:
+        return self.pt_xyz.shape[0]
+
+
+def empty_map(cfg: SystemConfig) -> MapState:
+    K = cfg.capacity.max_keyframes
+    N = cfg.orb.max_keypoints
+    P = cfg.capacity.max_points
+    L = cfg.capacity.max_planes
+    B = cfg.planes.max_boundary_points
+    f32 = jnp.float32
+    return MapState(
+        kf_pose=jnp.tile(jnp.array([1, 0, 0, 0, 0, 0, 0], f32), (K, 1)),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.full((K,), -1, jnp.int32),
+        kf_timestamp=jnp.zeros((K,), f32),
+        kf_kp_uv=jnp.zeros((K, N, 2), f32),
+        kf_kp_level=jnp.zeros((K, N), jnp.int32),
+        kf_kp_angle=jnp.zeros((K, N), f32),
+        kf_kp_depth=jnp.zeros((K, N), f32),
+        kf_kp_uright=jnp.full((K, N), -1.0, f32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_desc_pm1=jnp.zeros((K, N, 256), jnp.int8),
+        kf_pt_idx=jnp.full((K, N), -1, jnp.int32),
+        pt_xyz=jnp.zeros((P, 3), f32),
+        pt_valid=jnp.zeros((P,), bool),
+        pt_desc_pm1=jnp.zeros((P, 256), jnp.int8),
+        pt_normal=jnp.zeros((P, 3), f32),
+        pt_min_dist=jnp.zeros((P,), f32),
+        pt_max_dist=jnp.full((P,), 1e6, f32),
+        pt_ref_kf=jnp.full((P,), -1, jnp.int32),
+        pt_found=jnp.zeros((P,), jnp.int32),
+        pt_visible=jnp.zeros((P,), jnp.int32),
+        pt_first_frame=jnp.full((P,), -1, jnp.int32),
+        pl_coeff=jnp.zeros((L, 4), f32),
+        pl_valid=jnp.zeros((L,), bool),
+        pl_boundary=jnp.zeros((L, B, 3), f32),
+        pl_boundary_valid=jnp.zeros((L, B), bool),
+        pl_obs_count=jnp.zeros((L,), jnp.int32),
+        next_kf=jnp.int32(0),
+        next_pt=jnp.int32(0),
+        next_pl=jnp.int32(0),
+    )
+
+
+# --------------------------------------------------------------- insertion
+
+def insert_keyframe(m: MapState, feats: FrameFeatures, pose: jax.Array,
+                    frame_id, timestamp, kp_pt_idx: jax.Array) -> Tuple[MapState, jax.Array]:
+    """Append a keyframe at slot next_kf. kp_pt_idx [N] carries the tracked
+    map-point association of each keypoint slot (-1 = none). Returns
+    (new_map, kf_slot). Pure; caller gates on capacity."""
+    k = m.next_kf
+    m = m._replace(
+        kf_pose=m.kf_pose.at[k].set(pose),
+        kf_valid=m.kf_valid.at[k].set(True),
+        kf_frame_id=m.kf_frame_id.at[k].set(jnp.int32(frame_id)),
+        kf_timestamp=m.kf_timestamp.at[k].set(jnp.float32(timestamp)),
+        kf_kp_uv=m.kf_kp_uv.at[k].set(feats.uv),
+        kf_kp_level=m.kf_kp_level.at[k].set(feats.level),
+        kf_kp_angle=m.kf_kp_angle.at[k].set(feats.angle),
+        kf_kp_depth=m.kf_kp_depth.at[k].set(feats.depth),
+        kf_kp_uright=m.kf_kp_uright.at[k].set(feats.uright),
+        kf_kp_valid=m.kf_kp_valid.at[k].set(feats.valid),
+        kf_desc_pm1=m.kf_desc_pm1.at[k].set(feats.desc_pm1),
+        kf_pt_idx=m.kf_pt_idx.at[k].set(kp_pt_idx),
+        next_kf=k + 1,
+    )
+    return m, k
+
+
+def create_points_from_depth(m: MapState, kf_slot: jax.Array,
+                             feats: FrameFeatures, pose: jax.Array,
+                             kp_pt_idx: jax.Array, max_depth: float,
+                             cam: Tuple[float, float, float, float],
+                             frame_id) -> MapState:
+    """RGBD landmark creation (semantics of `Tracking::CreateNewKeyFrame`
+    `src/Tracking.cc:2521-2576` + `StereoInitialization` :1209): every valid
+    keypoint with 0 < depth < max_depth and no associated point spawns a map
+    point at its back-projection; its descriptor/normal/view-range seed from
+    this observation. New points are written to consecutive slots starting at
+    next_pt; slot indices wrap nothing — capacity overflow drops writes.
+    """
+    from eao_fusion_tpu.ops import lie
+
+    n = feats.uv.shape[0]
+    make = (feats.valid & (feats.depth > 0) & (feats.depth < max_depth)
+            & (kp_pt_idx < 0))
+    # assign consecutive point ids to the selected slots
+    order = jnp.cumsum(make.astype(jnp.int32)) - 1
+    new_ids = jnp.where(make, m.next_pt + order, -1)
+    overflow = new_ids >= m.max_pt
+    new_ids = jnp.where(overflow, -1, new_ids)
+    make = make & (~overflow)
+
+    xc = lie.backproject(cam, feats.uv, feats.depth)
+    twc = lie.se3_inverse(pose)
+    xw = lie.se3_apply(twc, xc)
+    cam_center = twc[4:7]
+    view = xw - cam_center
+    dist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(dist[:, None], 1e-9)
+
+    # scale-invariance limits from the observation octave (MapPoint ctor
+    # semantics, `src/MapPoint.cc`): maxDist = dist * scale^level,
+    # minDist = maxDist / scale^(L-1).
+    # scale factors are static per config; caller passes through feats.level.
+    scale = 1.2  # matches ORBConfig default; refined via update_point_stats
+    lvl = feats.level.astype(jnp.float32)
+    max_d = dist * (scale ** lvl) * 1.2
+    min_d = max_d / (scale ** 8)
+
+    tgt = jnp.where(make, new_ids, m.max_pt)  # drop-mode sink
+    m = m._replace(
+        pt_xyz=m.pt_xyz.at[tgt].set(xw, mode="drop"),
+        pt_valid=m.pt_valid.at[tgt].set(True, mode="drop"),
+        pt_desc_pm1=m.pt_desc_pm1.at[tgt].set(feats.desc_pm1, mode="drop"),
+        pt_normal=m.pt_normal.at[tgt].set(normal, mode="drop"),
+        pt_min_dist=m.pt_min_dist.at[tgt].set(min_d, mode="drop"),
+        pt_max_dist=m.pt_max_dist.at[tgt].set(max_d, mode="drop"),
+        pt_ref_kf=m.pt_ref_kf.at[tgt].set(kf_slot, mode="drop"),
+        pt_first_frame=m.pt_first_frame.at[tgt].set(jnp.int32(frame_id), mode="drop"),
+        pt_found=m.pt_found.at[tgt].set(1, mode="drop"),
+        pt_visible=m.pt_visible.at[tgt].set(1, mode="drop"),
+        next_pt=jnp.minimum(m.next_pt + jnp.sum(make.astype(jnp.int32)),
+                            m.max_pt),
+    )
+    # record observations on the keyframe row
+    kp_pt_new = jnp.where(make, new_ids, kp_pt_idx)
+    m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_slot].set(kp_pt_new))
+    return m
+
+
+def update_point_stats(m: MapState) -> MapState:
+    """Batched recomputation of per-point aggregates from all observations:
+    mean viewing normal and found/visible-independent geometry. Replaces
+    `MapPoint::UpdateNormalAndDepth` (`src/MapPoint.cc:300-340`). Cheap at
+    keyframe rate: one segment-sum over the [K, N] observation table."""
+    from eao_fusion_tpu.ops import lie
+
+    K, N = m.kf_pt_idx.shape
+    obs_pt = m.kf_pt_idx.reshape(-1)                       # [K*N]
+    obs_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    valid = (obs_pt >= 0) & m.kf_valid[obs_kf]
+    tgt = jnp.where(valid, obs_pt, m.max_pt)
+
+    twc = lie.se3_inverse(m.kf_pose)
+    centers = twc[:, 4:7]                                  # [K, 3]
+    dirs = m.pt_xyz[jnp.clip(obs_pt, 0, None)] - centers[obs_kf]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    sum_dir = jnp.zeros((m.max_pt + 1, 3), jnp.float32).at[tgt].add(
+        jnp.where(valid[:, None], dirs, 0.0))
+    cnt = jnp.zeros((m.max_pt + 1,), jnp.float32).at[tgt].add(
+        valid.astype(jnp.float32))
+    normal = sum_dir[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = jnp.where(nrm > 1e-6, normal / jnp.maximum(nrm, 1e-9), m.pt_normal)
+    return m._replace(pt_normal=jnp.where(m.pt_valid[:, None], normal,
+                                          m.pt_normal))

@@ -21,12 +21,17 @@ INVALID_DIST = N_BITS // 2  # what all-zero (invalid) rows score
 
 
 def hamming_matrix(pm1_a: jax.Array, pm1_b: jax.Array) -> jax.Array:
-    """[N, 256] x [M, 256] ±1 int8 -> [N, M] int32 Hamming distances."""
+    """[N, 256] x [M, 256] ±1 int8 -> [N, M] int32 Hamming distances.
+
+    On TPU the contraction runs in bfloat16 on the MXU (exact for ±1 inputs
+    and small accumulations up to 256, accumulated in f32); on CPU f32 hits
+    BLAS instead of the slow int8 path."""
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     dot = jax.lax.dot_general(
-        pm1_a, pm1_b,
+        pm1_a.astype(dt), pm1_b.astype(dt),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    return (N_BITS - dot) // 2
+        preferred_element_type=jnp.float32)
+    return ((N_BITS - dot) * 0.5).astype(jnp.int32)
 
 
 def hamming_packed(a: jax.Array, b: jax.Array) -> jax.Array:

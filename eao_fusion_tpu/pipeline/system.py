@@ -1,0 +1,127 @@
+"""System facade: host orchestration of the jitted pipeline stages.
+
+Replacement for `System::System` / `TrackRGBD` (`src/System.cc:41-250`) and
+the thread topology of SURVEY.md §1: instead of five pthreads sharing a map
+under `mMutexMapUpdate`, the host sequences pure device functions —
+per-frame `track_frame`, keyframe-rate `insert_keyframe_rgbd`, and (in
+later stages) local BA / loop closing — relying on JAX async dispatch for
+overlap. All SLAM state lives in two pytrees (MapState, TrackState).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eao_fusion_tpu.config import SystemConfig
+from eao_fusion_tpu.frontend import extractor
+from eao_fusion_tpu.mapping import map_state as ms
+from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.pipeline import tracking
+from eao_fusion_tpu.types import FrameFeatures
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "is_init"))
+def insert_keyframe_rgbd(m: ms.MapState, feats: FrameFeatures,
+                         pose: jax.Array, kp_pt: jax.Array,
+                         frame_id, timestamp, *, cfg: SystemConfig,
+                         is_init: bool = False) -> ms.MapState:
+    """Keyframe insertion + RGBD point creation + batched stat refresh.
+    At init every depth point spawns a landmark (StereoInitialization
+    `src/Tracking.cc:1209`); afterwards only close points without an
+    existing association do (CreateNewKeyFrame `src/Tracking.cc:2521`)."""
+    cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    m, slot = ms.insert_keyframe(m, feats, pose, frame_id, timestamp, kp_pt)
+    max_depth = 1e9 if is_init else float(cfg.camera.depth_threshold)
+    m = ms.create_points_from_depth(m, slot, feats, pose, kp_pt,
+                                    max_depth, cam, frame_id)
+    m = ms.update_point_stats(m)
+    return m
+
+
+class System:
+    """Drop-in style facade: feed RGBD frames, read poses/trajectory."""
+
+    def __init__(self, cfg: Optional[SystemConfig] = None):
+        self.cfg = cfg or SystemConfig()
+        self.map = ms.empty_map(self.cfg)
+        self.track = tracking.init_track_state(self.cfg)
+        self.trajectory: List[np.ndarray] = []
+        self.timestamps: List[float] = []
+        self.frame_id = 0
+        self.n_keyframes = 0
+        self.diags: List[dict] = []
+
+    # ------------------------------------------------------------------
+    def process_frame(self, gray: np.ndarray, depth: np.ndarray,
+                      timestamp: float = 0.0,
+                      boxes: Optional[np.ndarray] = None,
+                      initial_pose: Optional[np.ndarray] = None) -> np.ndarray:
+        """Track one RGBD frame; returns the estimated Tcw [7].
+
+        `initial_pose` seeds the world frame at initialization (GT or
+        IMU-gravity alignment, ConstraintType semantics of
+        `src/Tracking.cc:1276-1308`)."""
+        cfg = self.cfg
+        feats = extractor.extract_features(
+            jnp.asarray(gray), jnp.asarray(depth),
+            orb_cfg=cfg.orb, cam_cfg=cfg.camera)
+
+        if int(self.track.status) == tracking.STATUS_UNINIT:
+            pose = jnp.asarray(initial_pose if initial_pose is not None
+                               else np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+            n_depth = int(jnp.sum((feats.depth > 0) & feats.valid))
+            if n_depth >= 500:
+                kp_pt = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
+                self.map = insert_keyframe_rgbd(
+                    self.map, feats, pose, kp_pt, self.frame_id, timestamp,
+                    cfg=cfg, is_init=True)
+                # associations were written to the KF row; mirror into track
+                kp_pt = self.map.kf_pt_idx[self.map.next_kf - 1]
+                self.track = self.track._replace(
+                    pose=pose, last_pose=pose, last_feats=feats,
+                    kp_pt=kp_pt, status=jnp.int32(tracking.STATUS_OK),
+                    frame_id=jnp.int32(self.frame_id),
+                    last_kf_frame_id=jnp.int32(self.frame_id))
+                self.n_keyframes += 1
+            self._record(pose, timestamp)
+            self.frame_id += 1
+            return np.asarray(pose)
+
+        self.map, self.track, diag = tracking.track_frame(
+            self.map, self.track, feats, jnp.int32(self.frame_id), cfg=cfg)
+        self.diags.append({k: int(v) for k, v in diag.items()})
+
+        if bool(diag["need_kf"]):
+            self.map = insert_keyframe_rgbd(
+                self.map, feats, self.track.pose, self.track.kp_pt,
+                self.frame_id, timestamp, cfg=cfg, is_init=False)
+            slot = int(self.map.next_kf) - 1
+            self.track = self.track._replace(
+                kp_pt=self.map.kf_pt_idx[slot],
+                last_kf_frame_id=jnp.int32(self.frame_id),
+                ref_kf=jnp.int32(slot))
+            self.n_keyframes += 1
+            self._on_keyframe(slot)
+
+        self._record(self.track.pose, timestamp)
+        self.frame_id += 1
+        return np.asarray(self.track.pose)
+
+    # ------------------------------------------------------------------
+    def _on_keyframe(self, slot: int) -> None:
+        """Hook for local mapping (triangulation/culling/local BA) — wired
+        in by later pipeline stages."""
+
+    def _record(self, pose, timestamp) -> None:
+        self.trajectory.append(np.asarray(pose))
+        self.timestamps.append(float(timestamp))
+
+    # ------------------------------------------------------------------
+    def trajectory_tcw(self) -> np.ndarray:
+        return np.stack(self.trajectory) if self.trajectory else \
+            np.zeros((0, 7), np.float32)

@@ -1,0 +1,220 @@
+"""Per-frame tracking: motion-model search -> pose GN -> local-map search ->
+pose GN -> keyframe decision. One pure jitted function over the map pytree.
+
+Re-design of `Tracking::Track` / `TrackWithMotionModel` / `TrackLocalMap`
+(`src/Tracking.cc:940-1207, 1717-2231, 2233-2298`): the reference's two
+projection searches and two PoseOptimization calls per frame map to two
+masked-matmul matches (frontend/matcher.py) and two batched GN solves
+(solvers/pose_opt.py). The whole step is shape-static; the map is read-only
+except for the found/visible counters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SystemConfig
+from eao_fusion_tpu.frontend import matcher
+from eao_fusion_tpu.mapping import covisibility
+from eao_fusion_tpu.mapping.map_state import MapState
+from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.solvers import pose_opt
+from eao_fusion_tpu.types import FrameFeatures
+
+STATUS_UNINIT = 0
+STATUS_OK = 1
+STATUS_LOST = 2
+
+
+class TrackState(NamedTuple):
+    pose: jax.Array         # [7] current Tcw
+    velocity: jax.Array     # [7] Tcw_t ∘ Twc_{t-1}
+    last_pose: jax.Array    # [7]
+    last_feats: FrameFeatures
+    kp_pt: jax.Array        # [N] int32: current-frame kp slot -> map point id
+    ref_kf: jax.Array       # [] int32
+    n_inliers: jax.Array    # [] int32
+    status: jax.Array       # [] int32
+    frame_id: jax.Array     # [] int32
+    last_kf_frame_id: jax.Array  # [] int32
+
+
+def _empty_feats(cfg: SystemConfig) -> FrameFeatures:
+    n = cfg.orb.max_keypoints
+    return FrameFeatures(
+        uv=jnp.zeros((n, 2), jnp.float32),
+        response=jnp.zeros((n,), jnp.float32),
+        level=jnp.zeros((n,), jnp.int32),
+        angle=jnp.zeros((n,), jnp.float32),
+        desc_packed=jnp.zeros((n, 8), jnp.uint32),
+        desc_pm1=jnp.zeros((n, 256), jnp.int8),
+        valid=jnp.zeros((n,), bool),
+        depth=jnp.zeros((n,), jnp.float32),
+        uright=jnp.full((n,), -1.0, jnp.float32))
+
+
+def init_track_state(cfg: SystemConfig) -> TrackState:
+    n = cfg.orb.max_keypoints
+    ident = lie.se3_identity()
+    return TrackState(
+        pose=ident, velocity=ident, last_pose=ident,
+        last_feats=_empty_feats(cfg),
+        kp_pt=jnp.full((n,), -1, jnp.int32),
+        ref_kf=jnp.int32(0), n_inliers=jnp.int32(0),
+        status=jnp.int32(STATUS_UNINIT),
+        frame_id=jnp.int32(-1), last_kf_frame_id=jnp.int32(-1))
+
+
+def _inv_sigma2(level: jax.Array, scale: float) -> jax.Array:
+    return scale ** (-2.0 * level.astype(jnp.float32))
+
+
+def _build_pose_obs(m: MapState, feats: FrameFeatures, kp_pt: jax.Array,
+                    scale: float) -> pose_opt.PoseObs:
+    ok = (kp_pt >= 0) & feats.valid
+    idx = jnp.clip(kp_pt, 0, m.max_pt - 1)
+    return pose_opt.PoseObs(
+        pts_w=m.pt_xyz[idx],
+        uv=feats.uv,
+        uright=feats.uright,
+        inv_sigma2=_inv_sigma2(feats.level, scale),
+        valid=ok & m.pt_valid[idx])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
+                frame_id: jax.Array, *, cfg: SystemConfig
+                ) -> Tuple[MapState, TrackState, dict]:
+    cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    cam5 = cam + (cfg.camera.bf,)
+    W, H = cfg.camera.width, cfg.camera.height
+    s = cfg.orb.scale_factor
+    n_kp = cfg.orb.max_keypoints
+
+    # ---- 1. motion-model prediction -----------------------------------
+    pose_guess = lie.se3_compose(ts.velocity, ts.last_pose)
+
+    # ---- 2. match last frame's tracked points -------------------------
+    last_pt = ts.kp_pt
+    lf = ts.last_feats
+    src_valid = (last_pt >= 0) & lf.valid
+    src_idx = jnp.clip(last_pt, 0, m.max_pt - 1)
+    src_valid = src_valid & m.pt_valid[src_idx]
+    pts_w = m.pt_xyz[src_idx]
+    # RGBD window: th=15 px scaled by the source keypoint's octave
+    # (`src/ORBmatcher.cc:1370`), level window ±1
+    radius = (cfg.matcher.radius_motion_model
+              * s ** lf.level.astype(jnp.float32))
+
+    def run_mm(radius_mult):
+        res = matcher.match_points_to_frame(
+            pts_w, lf.desc_pm1, src_valid, lf.angle, lf.level,
+            radius * radius_mult, lf.level - 1, lf.level + 1,
+            feats, pose_guess, cam=cam, width=W, height=H,
+            th=cfg.matcher.th_high, check_rotation=True)
+        kp_pt = jnp.where(res.target_idx >= 0,
+                          last_pt[jnp.clip(res.target_idx, 0, n_kp - 1)], -1)
+        return kp_pt
+
+    kp_pt_mm = run_mm(1.0)
+    n_mm = jnp.sum((kp_pt_mm >= 0).astype(jnp.int32))
+    # reference: if <20 matches, retry with doubled window
+    kp_pt_mm = jax.lax.cond(n_mm < cfg.tracking.min_matches_track,
+                            lambda: run_mm(2.0), lambda: kp_pt_mm)
+
+    # ---- 3. first pose optimization -----------------------------------
+    obs1 = _build_pose_obs(m, feats, kp_pt_mm, s)
+    r1 = pose_opt.optimize_pose(pose_guess, obs1, cam=cam5, cfg=cfg.solver)
+    kp_pt_mm = jnp.where(r1.inliers & (kp_pt_mm >= 0), kp_pt_mm, -1)
+
+    # ---- 4. local map -------------------------------------------------
+    Z = covisibility.observation_indicator(m)
+    seen = jnp.zeros((m.max_pt,), bool).at[
+        jnp.where(kp_pt_mm >= 0, kp_pt_mm, m.max_pt)].set(True, mode="drop")
+    kf_local = covisibility.local_keyframes(
+        Z, seen, m.kf_valid, cfg.tracking.max_local_keyframes)
+    pt_local = covisibility.points_of_keyframes(Z, kf_local) & m.pt_valid
+
+    # frustum + view-cone gating (Frame::isInFrustum, `src/Frame.cc:638`)
+    twc = lie.se3_inverse(r1.pose)
+    center = twc[4:7]
+    rel = m.pt_xyz - center
+    dist = jnp.linalg.norm(rel, axis=-1)
+    view_cos = jnp.sum(rel * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    in_range = (dist >= 0.8 * m.pt_min_dist) & (dist <= 1.2 * m.pt_max_dist)
+    pred_lvl = matcher.predict_scale_level(dist, m.pt_max_dist, s,
+                                           cfg.orb.n_levels)
+    cand = pt_local & in_range & (view_cos > 0.5) & (~seen)
+    # visible counter increment (IncreaseVisible semantics)
+    uv_p, z_p, in_img = matcher.project_points(r1.pose, m.pt_xyz, cam, W, H)
+    visible = cand & in_img
+    m = m._replace(pt_visible=m.pt_visible + visible.astype(jnp.int32))
+
+    r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius_lm = r_base * s ** pred_lvl.astype(jnp.float32)
+    res_lm = matcher.match_points_to_frame(
+        m.pt_xyz, m.pt_desc_pm1, visible, jnp.zeros((m.max_pt,)), pred_lvl,
+        radius_lm, pred_lvl - 1, pred_lvl,
+        feats, r1.pose, cam=cam, width=W, height=H,
+        th=cfg.matcher.th_high, nn_ratio=0.8, use_ratio=True,
+        check_rotation=False)
+    kp_pt = jnp.where(kp_pt_mm >= 0, kp_pt_mm,
+                      jnp.where(res_lm.target_idx >= 0, res_lm.target_idx, -1))
+
+    # ---- 5. second pose optimization ----------------------------------
+    obs2 = _build_pose_obs(m, feats, kp_pt, s)
+    r2 = pose_opt.optimize_pose(r1.pose, obs2, cam=cam5, cfg=cfg.solver)
+    kp_pt = jnp.where(r2.inliers & (kp_pt >= 0), kp_pt, -1)
+    n_in = jnp.sum((kp_pt >= 0).astype(jnp.int32))
+
+    # found counter (IncreaseFound)
+    found = jnp.zeros((m.max_pt,), bool).at[
+        jnp.where(kp_pt >= 0, kp_pt, m.max_pt)].set(True, mode="drop")
+    m = m._replace(pt_found=m.pt_found + found.astype(jnp.int32))
+
+    ok = n_in >= cfg.tracking.min_matches_track
+    status = jnp.where(ok, STATUS_OK, STATUS_LOST)
+
+    # ---- 6. keyframe decision (NeedNewKeyFrame, `src/Tracking.cc:2300`) --
+    ref_kf = jnp.argmax(Z @ found.astype(jnp.float32)).astype(jnp.int32)
+    # nRefMatches = ref-KF map points with >= minObs keyframe observations
+    # (KeyFrame::TrackedMapPoints semantics, minObs = 3 once the map has
+    # more than 2 KFs — `src/Tracking.cc:2330-2334`)
+    pt_obs = jnp.sum(Z, axis=0)                       # [P] obs counts
+    min_obs = jnp.where(m.next_kf <= 2, 1.0, 3.0)
+    ref_pts = m.kf_pt_idx[ref_kf]
+    ref_ok = (ref_pts >= 0) & (pt_obs[jnp.clip(ref_pts, 0, None)] >= min_obs)
+    n_ref = jnp.sum(ref_ok.astype(jnp.int32))
+    close = (feats.depth > 0) & (feats.depth < cfg.camera.depth_threshold)
+    tracked_close = jnp.sum((close & (kp_pt >= 0)).astype(jnp.int32))
+    untracked_close = jnp.sum((close & (kp_pt < 0) & feats.valid)
+                              .astype(jnp.int32))
+    need_close = (tracked_close < cfg.tracking.kf_min_close_points) & \
+                 (untracked_close > cfg.tracking.kf_max_close_tracked)
+    frames_since = frame_id - ts.last_kf_frame_id
+    c1 = frames_since >= cfg.tracking.max_frames_between_kf
+    ratio_ok = n_in < cfg.tracking.kf_ref_ratio * n_ref.astype(jnp.float32)
+    c2 = (ratio_ok | need_close) & (n_in > 15)
+    has_capacity = m.next_kf < m.max_kf
+    need_kf = ok & (c1 | c2) & has_capacity & (frames_since >= 1)
+
+    vel = lie.se3_compose(r2.pose, lie.se3_inverse(ts.last_pose))
+    new_ts = TrackState(
+        pose=r2.pose,
+        velocity=jnp.where(ts.status == STATUS_OK, vel, ts.velocity),
+        last_pose=r2.pose,
+        last_feats=feats,
+        kp_pt=kp_pt,
+        ref_kf=ref_kf,
+        n_inliers=n_in,
+        status=status,
+        frame_id=frame_id,
+        last_kf_frame_id=ts.last_kf_frame_id)
+    diag = {"n_mm": n_mm, "n_inliers": n_in, "need_kf": need_kf,
+            "n_local_pts": jnp.sum(cand.astype(jnp.int32)),
+            "n_kf_local": jnp.sum(kf_local.astype(jnp.int32))}
+    return m, new_ts, diag

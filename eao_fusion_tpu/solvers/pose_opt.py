@@ -1,0 +1,193 @@
+"""Per-frame pose optimization: batched Gauss-Newton with IRLS Huber
+reweighting and chi2 inlier reclassification.
+
+Re-design of `Optimizer::PoseOptimization` (`src/Optimizer.cc:325-673`):
+the g2o graph (one SE3 vertex, ~1k unary mono/stereo reprojection edges,
+optional plane edges with fixed plane vertices) becomes fixed-shape tensor
+math: residuals/Jacobians for all edges at once, a 6x6 normal system, and a
+`lax.fori_loop` over the reference's schedule — 4 rounds x 10 iterations
+with outlier reclassification between rounds (chi2 gates 5.991 mono /
+7.815 stereo / 300 plane; plane weights angleInfo=3282.8, disInfo=1e4 from
+`src/Optimizer.cc:456-535`).
+
+Edge Jacobians are analytic. The pose update is the left retraction
+T <- exp(delta) * T with delta = [omega, v], for which d(xc)/d(delta) =
+[-[xc]_x | I].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SolverConfig
+from eao_fusion_tpu.ops import lie
+
+
+class PoseObs(NamedTuple):
+    """Fixed-capacity point-observation set for one frame."""
+    pts_w: jax.Array      # [M, 3] world points
+    uv: jax.Array         # [M, 2] observed pixels
+    uright: jax.Array     # [M] observed virtual right u; < 0 -> mono edge
+    inv_sigma2: jax.Array  # [M] information scale (1/sigma^2 of the octave)
+    valid: jax.Array      # [M] bool
+
+
+class PlaneObs(NamedTuple):
+    """Fixed-capacity plane-observation set: camera-frame measured plane vs
+    world plane landmark (both Hessian normal [n, d], n unit)."""
+    plane_w: jax.Array    # [Q, 4] world plane coeffs (landmark, fixed)
+    meas_c: jax.Array     # [Q, 4] measured camera-frame coeffs
+    valid: jax.Array      # [Q] bool
+
+
+class PoseOptResult(NamedTuple):
+    pose: jax.Array       # [7] optimized Tcw
+    inliers: jax.Array    # [M] bool final point-edge inlier set
+    n_inliers: jax.Array  # [] int32
+    chi2: jax.Array       # [] float32 total final chi2
+
+
+def _point_residual_jac(pose, obs: PoseObs, fx, fy, cx, cy, bf):
+    """Residuals r [M,3] (3rd lane zeroed for mono) and Jacobian J [M,3,6]
+    w.r.t. the left-retraction tangent."""
+    xc = lie.se3_apply(pose, obs.pts_w)             # [M, 3]
+    x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
+    z = jnp.maximum(z, 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    ur = u - bf * iz
+    stereo = obs.uright >= 0.0
+    r = jnp.stack([obs.uv[:, 0] - u,
+                   obs.uv[:, 1] - v,
+                   jnp.where(stereo, obs.uright - ur, 0.0)], axis=-1)
+
+    # d proj / d xc
+    du = jnp.stack([fx * iz, jnp.zeros_like(z), -fx * x * iz2], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(z), fy * iz, -fy * y * iz2], axis=-1)
+    dur = du + jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), bf * iz2],
+                         axis=-1)
+    dproj = jnp.stack([du, dv,
+                       jnp.where(stereo[:, None], dur, 0.0)], axis=-2)  # [M,3,3]
+    # d xc / d delta = [-[xc]_x | I]
+    dxc = jnp.concatenate([-lie.so3_hat(xc), jnp.broadcast_to(
+        jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))], axis=-1)  # [M,3,6]
+    J = -jnp.einsum("mij,mjk->mik", dproj, dxc)     # residual = obs - proj
+    behind = xc[:, 2] < 1e-3
+    return r, J, stereo, behind
+
+
+def _plane_residual_jac(pose, pobs: PlaneObs):
+    """Minimal plane residual, matching the g2oAddition parameterization
+    (`src/g2oAddition/Plane3D.h:68-93`): transform the world plane into the
+    camera frame with the current pose and compare to the measurement in
+    (azimuth, elevation, distance) 'ominus' coordinates. Here we use the
+    equivalent smooth residual [n_pred x n_meas (2 components via tangent
+    projection), d_pred - d_meas] computed by autodiff-friendly closed form:
+    r = [cross-angle residual (2), distance residual (1)].
+    Plane transform under x_c = R x_w + t: from n_w·x_w + d_w = 0 and
+    x_w = Rᵀ(x_c − t) follows n_c = R n_w and d_c = d_w − n_c·t.
+
+    Jacobians at the left-retraction origin (pose' = exp([w, v]) · pose, so
+    R' ≈ (I + [w]ₓ)R and t' ≈ t + w×t + v):
+      n_c' ≈ n_c + w×n_c            → d n_c/d w = −[n_c]ₓ, d n_c/d v = 0
+      d_c' = d_w − n_c'·t'
+           ≈ d_c − (w×n_c)·t − n_c·(w×t) − n_c·v = d_c − n_c·v
+        (the two w terms cancel: (w×n)·t + n·(w×t) = 0)
+      r_ang = n_c × n_m              → d r_ang/d n_c = −[n_m]ₓ
+    """
+    n_w = pobs.plane_w[:, :3]
+    d_w = pobs.plane_w[:, 3]
+    R = lie.quat_to_rotmat(pose[:4])
+    t = pose[4:7]
+    n_c = n_w @ R.T                       # [Q, 3]
+    d_c = d_w - n_c @ t                   # [Q]
+
+    n_m = pobs.meas_c[:, :3]
+    d_m = pobs.meas_c[:, 3]
+    # angle residual: cross product (norm = sin(angle), 2 effective dof)
+    r_ang = jnp.cross(n_c, n_m)           # [Q, 3]
+    r_dst = (d_c - d_m)[:, None]          # [Q, 1]
+
+    dnc_dw = -lie.so3_hat(n_c)                              # [Q,3,3]
+    dra_dnc = -lie.so3_hat(n_m)                             # [Q,3,3]
+    J_ang_w = jnp.einsum("qij,qjk->qik", dra_dnc, dnc_dw)   # [Q,3,3]
+    J_ang = jnp.concatenate([J_ang_w, jnp.zeros_like(J_ang_w)], axis=-1)
+
+    J_dst = jnp.concatenate([jnp.zeros_like(n_c), -n_c], axis=-1)[:, None, :]
+    return r_ang, r_dst, J_ang, J_dst
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def optimize_pose(pose0: jax.Array, obs: PoseObs,
+                  plane_obs: Optional[PlaneObs] = None,
+                  *, cam: Tuple[float, float, float, float, float],
+                  cfg: SolverConfig) -> PoseOptResult:
+    """cam = (fx, fy, cx, cy, bf)."""
+    fx, fy, cx, cy, bf = cam
+    m = obs.valid.shape[0]
+
+    def chi2_fn(pose, active):
+        r, J, stereo, behind = _point_residual_jac(pose, obs, fx, fy, cx, cy, bf)
+        w = obs.inv_sigma2
+        chi2 = jnp.sum(r * r, axis=-1) * w
+        return chi2, stereo, behind
+
+    def round_body(carry, _):
+        pose, inlier = carry
+
+        def gn_iter(i, pose):
+            r, J, stereo, behind = _point_residual_jac(
+                pose, obs, fx, fy, cx, cy, bf)
+            w_info = obs.inv_sigma2
+            chi2 = jnp.sum(r * r, axis=-1) * w_info
+            # Huber IRLS weight
+            delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+            hub = jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12))
+            w_rob = jnp.minimum(1.0, hub)
+            w = w_info * w_rob * inlier.astype(jnp.float32) * \
+                obs.valid.astype(jnp.float32) * (1.0 - behind.astype(jnp.float32))
+            # GN normal equations for r(δ) ≈ r + Jδ: δ = −(JᵀWJ)⁻¹ JᵀWr
+            H = jnp.einsum("mri,m,mrj->ij", J, w, J)
+            b = -jnp.einsum("mri,m,mr->i", J, w, r)
+
+            if plane_obs is not None:
+                r_ang, r_dst, J_ang, J_dst = _plane_residual_jac(pose, plane_obs)
+                pw = plane_obs.valid.astype(jnp.float32)
+                H = H + cfg.plane_angle_info * jnp.einsum(
+                    "qri,q,qrj->ij", J_ang, pw, J_ang)
+                b = b - cfg.plane_angle_info * jnp.einsum(
+                    "qri,q,qr->i", J_ang, pw, r_ang)
+                H = H + cfg.plane_dist_info * jnp.einsum(
+                    "qri,q,qrj->ij", J_dst, pw, J_dst)
+                b = b - cfg.plane_dist_info * jnp.einsum(
+                    "qri,q,qr->i", J_dst, pw, r_dst)
+
+            H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+            delta = jnp.linalg.solve(H, b)
+            # guard: only apply finite updates
+            good = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(good, delta, 0.0)
+            return lie.se3_retract(pose, delta)
+
+        pose = jax.lax.fori_loop(0, cfg.pose_iters_per_round, gn_iter, pose)
+        # reclassify inliers for the next round (reference redoes chi2 with
+        # the same thresholds each round, re-including recovered edges)
+        chi2, stereo, behind = chi2_fn(pose, inlier)
+        thresh = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        inlier = (chi2 <= thresh) & obs.valid & (~behind)
+        return (pose, inlier), None
+
+    inlier0 = obs.valid
+    (pose, inlier), _ = jax.lax.scan(round_body, (pose0, inlier0),
+                                     None, length=cfg.pose_rounds)
+    chi2, stereo, _ = chi2_fn(pose, inlier)
+    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return PoseOptResult(pose=pose, inliers=inlier,
+                         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+                         chi2=total)
