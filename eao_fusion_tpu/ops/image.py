@@ -52,8 +52,9 @@ def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Ar
 
 def pyramid_shapes(height: int, width: int, n_levels: int,
                    scale_factor: float) -> List[Tuple[int, int]]:
-    return [(max(int(round(height / scale_factor ** l)), 32),
-             max(int(round(width / scale_factor ** l)), 32))
+    # clamp: levels must stay larger than the descriptor patch (41 px)
+    return [(max(int(round(height / scale_factor ** l)), 48),
+             max(int(round(width / scale_factor ** l)), 48))
             for l in range(n_levels)]
 
 

@@ -1,0 +1,152 @@
+"""Local mapping at keyframe rate: point culling, window selection, local
+BA, outlier observation removal, batched point-statistic refresh.
+
+Re-design of `LocalMapping::Run` (`src/LocalMapping.cc:41-116`): the
+reference's mapping thread becomes one pure function invoked per keyframe.
+RGBD landmark creation happens at keyframe insertion (system.py); epipolar
+triangulation (`CreateNewMapPoints`, needed for mono) lives in
+solvers/triangulation.py and is wired for the monocular path.
+
+Design notes vs the reference:
+  * `MapPointCulling` (`src/LocalMapping.cc:174`): found/visible ratio
+    < 0.25, or < 3 observations within 2 keyframes of creation.
+  * window = top-covisible keyframes of the new KF (optimized) + the
+    best-connected frontier keyframes (fixed), capacities from
+    MapCapacity.max_local_ba_kfs — the reference takes *all* covisible and
+    *all* frontier KFs; fixed caps + top-k keep shapes static.
+  * the distinctive point descriptor (`MapPoint::ComputeDistinctiveDescriptors`,
+    medoid by median Hamming) is replaced by the Hamming-space centroid:
+    per-bit majority vote over observations — one segment-sum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SystemConfig
+from eao_fusion_tpu.mapping import covisibility
+from eao_fusion_tpu.mapping.map_state import MapState, update_point_stats
+from eao_fusion_tpu.solvers import ba
+
+
+def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:
+    """MapPointCulling semantics."""
+    Z = covisibility.observation_indicator(m)
+    obs = jnp.sum(Z, axis=0)                                # [P]
+    ratio_bad = (m.pt_visible >= 4) & \
+        (m.pt_found.astype(jnp.float32)
+         < 0.25 * m.pt_visible.astype(jnp.float32))
+    young_weak = ((cur_kf - m.pt_ref_kf >= 2) & (obs < 3)
+                  & (m.pt_ref_kf >= 0))
+    # points with zero observations are dead regardless
+    orphan = obs < 1
+    cull = m.pt_valid & (ratio_bad | young_weak | orphan)
+    return m._replace(pt_valid=m.pt_valid & (~cull))
+
+
+def _select_window(m: MapState, kf_slot: jax.Array, n_local: int,
+                   n_fixed: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (kf_idx [C], sel_valid [C], fixed [C]) with local KFs first."""
+    Z = covisibility.observation_indicator(m)
+    covis = covisibility.covisibility_counts(Z)
+    row = covis[kf_slot].at[kf_slot].set(1e9)      # self always first
+    row = jnp.where(m.kf_valid, row, -1.0)
+    loc_val, loc_idx = jax.lax.top_k(row, n_local)
+    local_ok = loc_val > 0.0
+
+    local_mask = jnp.zeros((m.max_kf,), bool).at[
+        jnp.where(local_ok, loc_idx, m.max_kf)].set(True, mode="drop")
+    local_pts = covisibility.points_of_keyframes(Z, local_mask)
+    votes = Z @ local_pts.astype(jnp.float32)
+    votes = jnp.where(m.kf_valid & (~local_mask), votes, -1.0)
+    fix_val, fix_idx = jax.lax.top_k(votes, n_fixed)
+    fixed_ok = fix_val > 0.0
+
+    kf_idx = jnp.concatenate([loc_idx, fix_idx])
+    sel_valid = jnp.concatenate([local_ok, fixed_ok])
+    fixed = jnp.concatenate([jnp.zeros((n_local,), bool),
+                             jnp.ones((n_fixed,), bool)])
+    # gauge anchoring: if no frontier keyframe was found (early map), fix
+    # the oldest selected local keyframe
+    no_fix = ~jnp.any(fixed_ok)
+    oldest = jnp.argmin(jnp.where(local_ok, kf_idx[:n_local], 1 << 30))
+    fixed = fixed.at[oldest].set(fixed[oldest] | no_fix)
+    # also always fix keyframe slot 0 if selected (world anchor)
+    fixed = fixed | (kf_idx == 0)
+    return kf_idx, sel_valid, fixed, local_pts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
+                       cfg: SystemConfig) -> MapState:
+    cam5 = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
+            cfg.camera.bf)
+    m = cull_points(m, kf_slot)
+
+    n_fixed = 8
+    n_local = cfg.capacity.max_local_ba_kfs - n_fixed
+    kf_idx, sel_valid, fixed, local_pts = _select_window(
+        m, kf_slot, n_local, n_fixed)
+
+    obs_pt = m.kf_pt_idx[kf_idx]
+    pt_ok = m.pt_valid[jnp.clip(obs_pt, 0, None)] & (obs_pt >= 0)
+    prob = ba.BAProblem(
+        cam_pose=m.kf_pose[kf_idx],
+        cam_valid=sel_valid & m.kf_valid[kf_idx],
+        cam_fixed=fixed,
+        pt_xyz=m.pt_xyz,
+        pt_valid=m.pt_valid & local_pts,
+        obs_pt=obs_pt,
+        obs_uv=m.kf_kp_uv[kf_idx],
+        obs_ur=m.kf_kp_uright[kf_idx],
+        obs_inv_sigma2=cfg.orb.scale_factor ** (
+            -2.0 * m.kf_kp_level[kf_idx].astype(jnp.float32)),
+        obs_valid=m.kf_kp_valid[kf_idx] & pt_ok,
+    )
+    res = ba.bundle_adjust(prob, cam=cam5, cfg=cfg.solver,
+                           n_iters1=cfg.solver.local_ba_iters_first,
+                           n_iters2=cfg.solver.local_ba_iters_second,
+                           pt_chunk=2048)
+
+    # scatter optimized poses back (only updated, valid, non-fixed slots)
+    upd = sel_valid & (~fixed)
+    tgt = jnp.where(upd, kf_idx, m.max_kf)
+    m = m._replace(
+        kf_pose=m.kf_pose.at[tgt].set(res.cam_pose, mode="drop"),
+        pt_xyz=jnp.where((m.pt_valid & local_pts)[:, None],
+                         res.pt_xyz, m.pt_xyz))
+
+    # remove outlier observations from the window keyframes
+    was_obs = prob.obs_valid
+    clear = was_obs & (~res.obs_inlier)
+    new_rows = jnp.where(clear, -1, obs_pt)
+    tgt_rows = jnp.where(sel_valid, kf_idx, m.max_kf)
+    m = m._replace(kf_pt_idx=m.kf_pt_idx.at[tgt_rows].set(
+        new_rows, mode="drop"))
+
+    m = refresh_point_descriptors(m)
+    m = update_point_stats(m)
+    return m
+
+
+def refresh_point_descriptors(m: MapState) -> MapState:
+    """Hamming-space centroid: per-bit majority vote over all keyframe
+    observations of each point (replaces medoid selection,
+    `src/MapPoint.cc:217-297`)."""
+    K, N = m.kf_pt_idx.shape
+    pt = m.kf_pt_idx.reshape(-1)
+    ok = (pt >= 0) & m.kf_valid.repeat(N)
+    tgt = jnp.where(ok, pt, m.max_pt)
+    votes = jnp.zeros((m.max_pt + 1, 256), jnp.float32).at[tgt].add(
+        m.kf_desc_pm1.reshape(-1, 256).astype(jnp.float32)
+        * ok[:, None].astype(jnp.float32))[:m.max_pt]
+    have = jnp.any(votes != 0.0, axis=-1)
+    desc = jnp.where(votes > 0, jnp.int8(1), jnp.int8(-1))
+    # zero-vote bits tie-break toward the existing descriptor
+    desc = jnp.where(votes == 0, m.pt_desc_pm1, desc)
+    return m._replace(pt_desc_pm1=jnp.where(
+        (m.pt_valid & have)[:, None], desc, m.pt_desc_pm1))

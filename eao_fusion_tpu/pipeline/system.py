@@ -114,8 +114,15 @@ class System:
 
     # ------------------------------------------------------------------
     def _on_keyframe(self, slot: int) -> None:
-        """Hook for local mapping (triangulation/culling/local BA) — wired
-        in by later pipeline stages."""
+        """Keyframe-rate mapping: point culling + local BA + stat refresh
+        (the reference's LocalMapping thread, SURVEY.md §3.3)."""
+        from eao_fusion_tpu.pipeline import local_mapping
+        if self.n_keyframes >= 3:
+            self.map = local_mapping.local_mapping_step(
+                self.map, jnp.int32(slot), cfg=self.cfg)
+            # tracking state caches the KF's associations; BA may have
+            # removed some as outliers — refresh from the map row
+            self.track = self.track._replace(kp_pt=self.map.kf_pt_idx[slot])
 
     def _record(self, pose, timestamp) -> None:
         self.trajectory.append(np.asarray(pose))

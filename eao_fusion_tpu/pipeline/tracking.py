@@ -149,9 +149,10 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
     pred_lvl = matcher.predict_scale_level(dist, m.pt_max_dist, s,
                                            cfg.orb.n_levels)
     cand = pt_local & in_range & (view_cos > 0.5) & (~seen)
-    # visible counter increment (IncreaseVisible semantics)
+    # visible counter increment (IncreaseVisible semantics: all frustum
+    # candidates AND the already-tracked points, `src/Tracking.cc:2610-2626`)
     uv_p, z_p, in_img = matcher.project_points(r1.pose, m.pt_xyz, cam, W, H)
-    visible = cand & in_img
+    visible = (cand & in_img) | seen
     m = m._replace(pt_visible=m.pt_visible + visible.astype(jnp.int32))
 
     r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)

@@ -1,0 +1,233 @@
+"""Bundle adjustment: batched Gauss-Newton with dense-blocked sparse Schur
+complement, usable for local BA, global BA, and (sharded over the point
+axis) distributed BA.
+
+Re-design of `Optimizer::LocalBundleAdjustment` / `BundleAdjustment`
+(`src/Optimizer.cc:675-1139, 47-323`): g2o's BlockSolver_6_3 with
+LinearSolverEigen becomes explicit tensor math —
+
+  per-obs Jacobians  J_c [E,3,6], J_p [E,3,3]      (E = C·N, dense slots)
+  Hcc (block-diag)   [C,6,6]   segment-sum by camera
+  Hpp (block-diag)   [P,3,3]   segment-sum by point, 3x3 closed-form inverse
+  A = Hcp           [C,P,6,3]  scatter by (camera, point), chunked over P
+  S = Hcc − A Hpp⁻¹ Aᵀ        reduced camera system, one einsum per chunk
+  δc from dense Cholesky of S; δp by back-substitution.
+
+The chunked P-loop is the distribution axis: each device owns a point shard
+and the S/rhs accumulation is a `psum` (parallel/dist_ba.py). The schedule
+follows the reference: 5 iterations, chi2 outlier pass, 10 more iterations
+(`src/Optimizer.cc:965-1007`), with Huber IRLS instead of explicit edge
+removal inside each phase.
+
+Observations use the map's native dense layout: for each of C cameras, N
+keypoint slots with a global point id (−1 = none) — no COO lists, no
+dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SolverConfig
+from eao_fusion_tpu.ops import lie
+
+
+class BAProblem(NamedTuple):
+    cam_pose: jax.Array    # [C, 7] Tcw
+    cam_valid: jax.Array   # [C] bool
+    cam_fixed: jax.Array   # [C] bool — frontier/anchor cameras
+    pt_xyz: jax.Array      # [P, 3]
+    pt_valid: jax.Array    # [P] bool (points eligible for update)
+    obs_pt: jax.Array      # [C, N] int32 global point id, -1 = none
+    obs_uv: jax.Array      # [C, N, 2]
+    obs_ur: jax.Array      # [C, N] virtual right u, <0 = mono
+    obs_inv_sigma2: jax.Array  # [C, N]
+    obs_valid: jax.Array   # [C, N] bool
+
+
+class BAResult(NamedTuple):
+    cam_pose: jax.Array
+    pt_xyz: jax.Array
+    obs_inlier: jax.Array  # [C, N] bool — final chi2-gated classification
+    chi2: jax.Array        # [] total inlier chi2
+
+
+def _residuals(prob: BAProblem, cam_pose, pt_xyz, cam):
+    """Per-observation residuals r [C,N,3] and Jacobians J_c [C,N,3,6],
+    J_p [C,N,3,3] (point Jacobian in world coords)."""
+    fx, fy, cx, cy, bf = cam
+    C, N = prob.obs_pt.shape
+    pid = jnp.clip(prob.obs_pt, 0, pt_xyz.shape[0] - 1)
+    pw = pt_xyz[pid]                               # [C, N, 3]
+    R = lie.quat_to_rotmat(cam_pose[:, :4])        # [C, 3, 3]
+    xc = jnp.einsum("cij,cnj->cni", R, pw) + cam_pose[:, None, 4:7]
+    x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
+    z = jnp.maximum(z, 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    ur = u - bf * iz
+    stereo = prob.obs_ur >= 0.0
+    r = jnp.stack([prob.obs_uv[..., 0] - u,
+                   prob.obs_uv[..., 1] - v,
+                   jnp.where(stereo, prob.obs_ur - ur, 0.0)], axis=-1)
+
+    zero = jnp.zeros_like(z)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1)
+    dur = du + jnp.stack([zero, zero, bf * iz2], axis=-1)
+    dproj = jnp.stack([du, dv, jnp.where(stereo[..., None], dur, 0.0)],
+                      axis=-2)                     # [C,N,3,3]
+    # camera: d xc/d delta = [-[xc]x | I]; residual = obs - proj
+    dxc = jnp.concatenate([
+        -lie.so3_hat(xc),
+        jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape + (3,))],
+        axis=-1)                                   # [C,N,3,6]
+    J_c = -jnp.einsum("cnij,cnjk->cnik", dproj, dxc)
+    # point: d xc/d xw = R
+    J_p = -jnp.einsum("cnij,cjk->cnik", dproj, R)
+    behind = xc[..., 2] < 1e-3
+    return r, J_c, J_p, stereo, behind
+
+
+def _weights(r, stereo, behind, prob, active, cfg: SolverConfig):
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    w_rob = jnp.minimum(1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+    w = (prob.obs_inv_sigma2 * w_rob * active.astype(jnp.float32)
+         * (1.0 - behind.astype(jnp.float32)))
+    return w, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
+                                             "n_iters2", "pt_chunk"))
+def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
+                  cfg: SolverConfig, n_iters1: int = 5, n_iters2: int = 10,
+                  pt_chunk: int = 4096, damping: float = 1e-3) -> BAResult:
+    """Two-phase BA (iters1, outlier gate, iters2)."""
+    C, N = prob.obs_pt.shape
+    P = prob.pt_xyz.shape[0]
+    n_chunks = -(-P // pt_chunk)
+    P_pad = n_chunks * pt_chunk
+
+    obs_ok0 = (prob.obs_valid & (prob.obs_pt >= 0)
+               & prob.cam_valid[:, None])
+
+    def gn_iter(state, active):
+        cam_pose, pt_xyz = state
+        r, J_c, J_p, stereo, behind = _residuals(prob, cam_pose, pt_xyz, cam)
+        w, _ = _weights(r, stereo, behind, prob, active, cfg)
+
+        free_cam = (prob.cam_valid & (~prob.cam_fixed)).astype(jnp.float32)
+        w_c = w * free_cam[:, None]
+
+        Hcc = jnp.einsum("cnri,cn,cnrj->cij", J_c, w_c, J_c)
+        bc = -jnp.einsum("cnri,cn,cnr->ci", J_c, w_c, J_c[..., 0] * 0 + r)
+        # point system over all P (padded slot P for drop)
+        pid = prob.obs_pt
+        flat_pid = jnp.where(active, pid, P).reshape(-1)
+        JtWJ_p = jnp.einsum("cnri,cn,cnrj->cnij", J_p, w, J_p).reshape(-1, 3, 3)
+        JtWr_p = jnp.einsum("cnri,cn,cnr->cni", J_p, w, r).reshape(-1, 3)
+        Hpp = jnp.zeros((P + 1, 3, 3), jnp.float32).at[flat_pid].add(JtWJ_p)[:P]
+        bp = -jnp.zeros((P + 1, 3), jnp.float32).at[flat_pid].add(JtWr_p)[:P]
+        # damp + invert (points with no obs get identity -> delta 0 since bp 0)
+        Hpp = Hpp + (damping + 1e-6) * jnp.eye(3, dtype=jnp.float32)
+        Hpp_inv = jnp.linalg.inv(Hpp)
+        pt_free = prob.pt_valid
+        Hpp_inv = jnp.where(pt_free[:, None, None], Hpp_inv, 0.0)
+
+        # Y = J_cᵀ W J_p per obs  [C,N,6,3]
+        Y = jnp.einsum("cnri,cn,cnrj->cnij", J_c, w_c, J_p)
+
+        # chunked accumulation of S and rhs over the point axis
+        def chunk_body(carry, k):
+            S, rhs = carry
+            p0 = k * pt_chunk
+            # scatter obs of this chunk into dense A [C, chunk, 6, 3]
+            local = pid - p0
+            in_chunk = active & (local >= 0) & (local < pt_chunk)
+            tgt = jnp.where(in_chunk, local, pt_chunk)
+            cidx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
+            A = jnp.zeros((C, pt_chunk + 1, 6, 3), jnp.float32
+                          ).at[cidx.reshape(-1), tgt.reshape(-1)].add(
+                Y.reshape(-1, 6, 3))[:, :pt_chunk]
+            Hinv_k = jax.lax.dynamic_slice(Hpp_inv, (p0, 0, 0),
+                                           (pt_chunk, 3, 3))
+            bp_k = jax.lax.dynamic_slice(bp, (p0, 0), (pt_chunk, 3))
+            AH = jnp.einsum("cpij,pjk->cpik", A, Hinv_k)
+            S = S - jnp.einsum("cpik,dplk->cdil", AH, A)
+            rhs = rhs - jnp.einsum("cpik,pk->ci", AH, bp_k)
+            return (S, rhs), None
+
+        S0 = jnp.zeros((C, C, 6, 6), jnp.float32)
+        S0 = S0.at[jnp.arange(C), jnp.arange(C)].set(Hcc)
+        (S, rhs), _ = jax.lax.scan(chunk_body, (S0, bc), jnp.arange(n_chunks))
+
+        # anchor fixed/invalid cameras: identity rows
+        free = free_cam
+        S = S * free[:, None, None, None] * free[None, :, None, None]
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.eye(6) * (1.0 - free)[:, None, None])
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.eye(6) * damping)
+        rhs = rhs * free[:, None]
+
+        M = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+        delta_c = jnp.linalg.solve(M, rhs.reshape(-1)).reshape(C, 6)
+        good = jnp.all(jnp.isfinite(delta_c))
+        delta_c = jnp.where(good, delta_c, 0.0)
+
+        # back-substitute points: δp = Hpp⁻¹ (bp − Aᵀ δc), chunked
+        def back_body(_, k):
+            p0 = k * pt_chunk
+            local = pid - p0
+            in_chunk = active & (local >= 0) & (local < pt_chunk)
+            tgt = jnp.where(in_chunk, local, pt_chunk)
+            cidx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
+            A = jnp.zeros((C, pt_chunk + 1, 6, 3), jnp.float32
+                          ).at[cidx.reshape(-1), tgt.reshape(-1)].add(
+                Y.reshape(-1, 6, 3))[:, :pt_chunk]
+            Hinv_k = jax.lax.dynamic_slice(Hpp_inv, (p0, 0, 0),
+                                           (pt_chunk, 3, 3))
+            bp_k = jax.lax.dynamic_slice(bp, (p0, 0), (pt_chunk, 3))
+            t = bp_k - jnp.einsum("cpij,ci->pj", A, delta_c)
+            dp = jnp.einsum("pij,pj->pi", Hinv_k, t)
+            return None, dp
+
+        _, dp_chunks = jax.lax.scan(back_body, None, jnp.arange(n_chunks))
+        delta_p = dp_chunks.reshape(P_pad, 3)[:P]
+        delta_p = jnp.where(good & pt_free[:, None], delta_p, 0.0)
+        # clamp wild point moves (robustness against ill-conditioned Hpp)
+        delta_p = jnp.clip(delta_p, -1.0, 1.0)
+
+        cam_pose = jax.vmap(lie.se3_retract)(cam_pose, delta_c)
+        pt_xyz = pt_xyz + delta_p
+        return (cam_pose, pt_xyz)
+
+    def run_phase(state, active, iters):
+        def body(i, st):
+            return gn_iter(st, active)
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state = (prob.cam_pose, prob.pt_xyz)
+    state = run_phase(state, obs_ok0, n_iters1)
+
+    # outlier reclassification between phases (chi2 gate + positive depth)
+    r, _, _, stereo, behind = _residuals(prob, state[0], state[1], cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    thr = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    inlier = obs_ok0 & (chi2 <= thr) & (~behind)
+
+    state = run_phase(state, inlier, n_iters2)
+
+    r, _, _, stereo, behind = _residuals(prob, state[0], state[1], cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    inlier = obs_ok0 & (chi2 <= thr) & (~behind)
+    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return BAResult(cam_pose=state[0], pt_xyz=state[1],
+                    obs_inlier=inlier, chi2=total)

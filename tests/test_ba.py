@@ -1,0 +1,118 @@
+"""Bundle adjustment tests: Schur-complement GN vs ground truth, and the
+distributed (landmark-sharded, psum-reduced) version vs the local one."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SolverConfig
+from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.solvers import ba
+
+CAM = (535.4, 539.2, 320.1, 247.6, 40.0)
+CFG = SolverConfig()
+
+
+def make_ba_problem(r, n_cams=6, n_pts=256, n_slots=128, noise_px=0.3,
+                    pose_noise=0.02, pt_noise=0.02):
+    """Cameras on an arc observing a point cloud; GT + perturbed problem."""
+    pts_gt = np.stack([r.uniform(-2, 2, n_pts), r.uniform(-1.5, 1.5, n_pts),
+                       r.uniform(3, 7, n_pts)], axis=1).astype(np.float32)
+    cams_gt = []
+    for i in range(n_cams):
+        s = i / max(n_cams - 1, 1)
+        tau = np.r_[0.02 * s, -0.25 * s, 0.0, 0.4 * s, 0.02 * s, 0.1 * s]
+        cams_gt.append(np.asarray(lie.se3_exp(tau.astype(np.float32))))
+    cams_gt = np.stack(cams_gt)
+
+    fx, fy, cx, cy, bf = CAM
+    obs_pt = np.full((n_cams, n_slots), -1, np.int32)
+    obs_uv = np.zeros((n_cams, n_slots, 2), np.float32)
+    obs_ur = np.full((n_cams, n_slots), -1.0, np.float32)
+    for c in range(n_cams):
+        xc = np.asarray(lie.se3_apply(cams_gt[c], pts_gt))
+        uv = np.stack([fx * xc[:, 0] / xc[:, 2] + cx,
+                       fy * xc[:, 1] / xc[:, 2] + cy], axis=1)
+        vis = ((xc[:, 2] > 0.5) & (uv[:, 0] > 0) & (uv[:, 0] < 640)
+               & (uv[:, 1] > 0) & (uv[:, 1] < 480))
+        ids = np.where(vis)[0][:n_slots]
+        k = len(ids)
+        obs_pt[c, :k] = ids
+        obs_uv[c, :k] = uv[ids] + r.normal(0, noise_px, (k, 2))
+        obs_ur[c, :k] = (uv[ids, 0] - bf / xc[ids, 2]
+                         + r.normal(0, noise_px, k))
+
+    cams0 = cams_gt.copy()
+    for c in range(1, n_cams):
+        tau = np.r_[r.normal(0, pose_noise, 3), r.normal(0, 3 * pose_noise, 3)]
+        cams0[c] = np.asarray(lie.se3_retract(jnp.asarray(cams_gt[c]),
+                                              jnp.asarray(tau.astype(np.float32))))
+    pts0 = pts_gt + r.normal(0, pt_noise, pts_gt.shape).astype(np.float32)
+
+    fixed = np.zeros(n_cams, bool)
+    fixed[0] = True
+    prob = ba.BAProblem(
+        cam_pose=jnp.asarray(cams0), cam_valid=jnp.ones(n_cams, bool),
+        cam_fixed=jnp.asarray(fixed),
+        pt_xyz=jnp.asarray(pts0), pt_valid=jnp.ones(n_pts, bool),
+        obs_pt=jnp.asarray(obs_pt), obs_uv=jnp.asarray(obs_uv),
+        obs_ur=jnp.asarray(obs_ur),
+        obs_inv_sigma2=jnp.ones((n_cams, n_slots), jnp.float32),
+        obs_valid=jnp.asarray(obs_pt >= 0))
+    return prob, cams_gt, pts_gt
+
+
+def cam_rmse(a, b):
+    d = np.asarray(jax.vmap(
+        lambda x, y: lie.se3_log(lie.se3_compose(lie.se3_inverse(x), y)))(
+        jnp.asarray(a), jnp.asarray(b)))
+    return float(np.sqrt((d ** 2).sum(-1).mean()))
+
+
+class TestBA:
+    def test_converges_to_gt(self):
+        r = np.random.default_rng(0)
+        prob, cams_gt, pts_gt = make_ba_problem(r, noise_px=0.0)
+        res = ba.bundle_adjust(prob, cam=CAM, cfg=CFG, pt_chunk=128)
+        assert cam_rmse(res.cam_pose, cams_gt) < 1e-3
+        pt_err = np.linalg.norm(np.asarray(res.pt_xyz) - pts_gt, axis=1)
+        assert np.median(pt_err) < 1e-3
+
+    def test_reduces_chi2_with_noise(self):
+        r = np.random.default_rng(1)
+        prob, cams_gt, pts_gt = make_ba_problem(r, noise_px=0.4)
+        res = ba.bundle_adjust(prob, cam=CAM, cfg=CFG, pt_chunk=128)
+        assert cam_rmse(res.cam_pose, cams_gt) < \
+            cam_rmse(prob.cam_pose, cams_gt) * 0.3
+        assert int(res.obs_inlier.sum()) > 0.9 * int(prob.obs_valid.sum())
+
+    def test_fixed_cam_untouched(self):
+        r = np.random.default_rng(2)
+        prob, _, _ = make_ba_problem(r)
+        res = ba.bundle_adjust(prob, cam=CAM, cfg=CFG, pt_chunk=128)
+        np.testing.assert_allclose(np.asarray(res.cam_pose)[0],
+                                   np.asarray(prob.cam_pose)[0], atol=1e-7)
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self):
+        from eao_fusion_tpu.parallel import dist_ba, mesh as mesh_util
+        assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+        mesh = mesh_util.make_mesh(n_landmark=8)
+        r = np.random.default_rng(3)
+        prob, cams_gt, pts_gt = make_ba_problem(r, n_pts=256, noise_px=0.2)
+        res_d = dist_ba.distributed_bundle_adjust(
+            prob, mesh, cam=CAM, cfg=CFG, n_iters=12)
+        assert cam_rmse(res_d.cam_pose, cams_gt) < 2e-3
+        # 0.2 px noise at ~5 m depth: point error is cm-scale by geometry
+        pt_err = np.linalg.norm(np.asarray(res_d.pt_xyz) - pts_gt, axis=1)
+        assert np.median(pt_err) < 0.05
+        # agreement with the single-device solver on the same problem
+        res_s = ba.bundle_adjust(prob, cam=CAM, cfg=CFG, pt_chunk=64,
+                                 n_iters1=6, n_iters2=6)
+        assert cam_rmse(res_d.cam_pose, res_s.cam_pose) < 2e-3
+        dpt = np.linalg.norm(np.asarray(res_d.pt_xyz)
+                             - np.asarray(res_s.pt_xyz), axis=1)
+        assert np.median(dpt) < 5e-3

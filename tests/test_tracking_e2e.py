@@ -1,0 +1,65 @@
+"""End-to-end RGBD tracking regression on synthetic ground-truthed scenes.
+
+This is the rebuild's version of the reference's dataset-replay validation
+(SURVEY.md §4): a golden-trajectory bound replaces eyeballing Pangolin.
+"""
+
+import numpy as np
+import pytest
+
+from eao_fusion_tpu.config import SystemConfig, ORBConfig, MapCapacity
+from eao_fusion_tpu.io import synthetic, tum
+from eao_fusion_tpu.pipeline.system import System
+
+
+def small_cfg():
+    return SystemConfig(
+        orb=ORBConfig(n_features=500, max_keypoints=512),
+        capacity=MapCapacity(max_keyframes=64, max_points=4096))
+
+
+@pytest.mark.slow
+def test_rgbd_arc_ate():
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc")
+    s = System(small_cfg())
+    for f in seq.frames:
+        s.process_frame(f.gray, f.depth, f.timestamp)
+    err = tum.evaluate_ate_rpe(s.trajectory_tcw(), seq.gt_tcw())
+    assert err.ate_rmse < 0.02, err          # 2 cm bound
+    assert s.n_keyframes >= 3
+    assert all(d["n_inliers"] > 50 for d in s.diags)
+
+
+@pytest.mark.slow
+def test_rgbd_forward_ate():
+    seq = synthetic.generate_sequence(n_frames=15, seed=3, style="forward")
+    s = System(small_cfg())
+    for f in seq.frames:
+        s.process_frame(f.gray, f.depth, f.timestamp)
+    err = tum.evaluate_ate_rpe(s.trajectory_tcw(), seq.gt_tcw())
+    assert err.ate_rmse < 0.03, err
+
+
+@pytest.mark.slow
+def test_depth_noise_robustness():
+    seq = synthetic.generate_sequence(n_frames=12, seed=5, style="arc",
+                                      depth_noise=0.01)
+    s = System(small_cfg())
+    for f in seq.frames:
+        s.process_frame(f.gray, f.depth, f.timestamp)
+    err = tum.evaluate_ate_rpe(s.trajectory_tcw(), seq.gt_tcw())
+    assert err.ate_rmse < 0.05, err
+
+
+def test_trajectory_io_roundtrip(tmp_path):
+    r = np.random.default_rng(0)
+    from eao_fusion_tpu.ops import lie
+    tcw = np.asarray(lie.se3_exp(r.normal(0, 0.3, (10, 6)).astype(np.float32)))
+    ts = np.arange(10) / 30.0
+    p = tmp_path / "traj.txt"
+    tum.write_trajectory_tum(str(p), ts, tcw)
+    ts2, twc = tum.read_groundtruth(str(p))
+    tcw2 = np.asarray(lie.se3_inverse(twc))
+    np.testing.assert_allclose(ts2, ts, atol=1e-5)
+    err = tum.evaluate_ate_rpe(tcw2, tcw, align=False)
+    assert err.ate_rmse < 1e-5
