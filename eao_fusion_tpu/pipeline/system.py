@@ -70,6 +70,11 @@ class System:
         feats = extractor.extract_features(
             jnp.asarray(gray), jnp.asarray(depth),
             orb_cfg=cfg.orb, cam_cfg=cfg.camera)
+        planes = None
+        if cfg.use_planes:
+            from eao_fusion_tpu.ops import planes as plane_ops
+            planes = plane_ops.segment_planes(
+                jnp.asarray(depth), cam=cfg.camera, cfg=cfg.planes)
 
         if int(self.track.status) == tracking.STATUS_UNINIT:
             pose = jnp.asarray(initial_pose if initial_pose is not None
@@ -88,13 +93,17 @@ class System:
                     frame_id=jnp.int32(self.frame_id),
                     last_kf_frame_id=jnp.int32(self.frame_id))
                 self.n_keyframes += 1
+                if planes is not None:
+                    self._update_planes(planes, pose)
             self._record(pose, timestamp)
             self.frame_id += 1
             return np.asarray(pose)
 
         self.map, self.track, diag = tracking.track_frame(
-            self.map, self.track, feats, jnp.int32(self.frame_id), cfg=cfg)
-        self.diags.append({k: int(v) for k, v in diag.items()})
+            self.map, self.track, feats, jnp.int32(self.frame_id), planes,
+            cfg=cfg)
+        self.diags.append({k: int(v) for k, v in diag.items()
+                           if getattr(v, "ndim", 0) == 0})
 
         if bool(diag["need_kf"]):
             self.map = insert_keyframe_rgbd(
@@ -106,6 +115,8 @@ class System:
                 last_kf_frame_id=jnp.int32(self.frame_id),
                 ref_kf=jnp.int32(slot))
             self.n_keyframes += 1
+            if planes is not None:
+                self._update_planes(planes, self.track.pose)
             self._on_keyframe(slot)
 
         self._record(self.track.pose, timestamp)
@@ -123,6 +134,15 @@ class System:
             # tracking state caches the KF's associations; BA may have
             # removed some as outliers — refresh from the map row
             self.track = self.track._replace(kp_pt=self.map.kf_pt_idx[slot])
+
+    def _update_planes(self, planes, pose) -> None:
+        """Keyframe-rate plane landmark update (association re-done with the
+        final pose, then merge/insert — `src/Tracking.cc:2489-2518`)."""
+        from eao_fusion_tpu.mapping import plane_map
+        assoc = plane_map.associate_planes(self.map, planes, pose,
+                                           cfg=self.cfg)
+        self.map = plane_map.update_plane_map(self.map, planes, assoc, pose,
+                                              cfg=self.cfg)
 
     def _record(self, pose, timestamp) -> None:
         self.trajectory.append(np.asarray(pose))

@@ -87,7 +87,7 @@ def _build_pose_obs(m: MapState, feats: FrameFeatures, kp_pt: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
-                frame_id: jax.Array, *, cfg: SystemConfig
+                frame_id: jax.Array, planes=None, *, cfg: SystemConfig
                 ) -> Tuple[MapState, TrackState, dict]:
     cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
     cam5 = cam + (cfg.camera.bf,)
@@ -166,9 +166,22 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
     kp_pt = jnp.where(kp_pt_mm >= 0, kp_pt_mm,
                       jnp.where(res_lm.target_idx >= 0, res_lm.target_idx, -1))
 
+    # ---- 4b. plane association (Map::AssociatePlanesByBoundary called
+    # before the second PoseOptimization, `src/Tracking.cc:2181-2186`) ----
+    plane_obs = None
+    plane_assoc = None
+    if planes is not None:
+        from eao_fusion_tpu.mapping import plane_map
+        plane_assoc = plane_map.associate_planes(m, planes, r1.pose, cfg=cfg)
+        plane_obs = plane_map.build_plane_obs(m, planes, plane_assoc)
+        meas = plane_map._align_sign(plane_obs.meas_c, plane_obs.plane_w,
+                                     r1.pose)
+        plane_obs = plane_obs._replace(meas_c=meas)
+
     # ---- 5. second pose optimization ----------------------------------
     obs2 = _build_pose_obs(m, feats, kp_pt, s)
-    r2 = pose_opt.optimize_pose(r1.pose, obs2, cam=cam5, cfg=cfg.solver)
+    r2 = pose_opt.optimize_pose(r1.pose, obs2, plane_obs,
+                                cam=cam5, cfg=cfg.solver)
     kp_pt = jnp.where(r2.inliers & (kp_pt >= 0), kp_pt, -1)
     n_in = jnp.sum((kp_pt >= 0).astype(jnp.int32))
 
@@ -218,4 +231,7 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
     diag = {"n_mm": n_mm, "n_inliers": n_in, "need_kf": need_kf,
             "n_local_pts": jnp.sum(cand.astype(jnp.int32)),
             "n_kf_local": jnp.sum(kf_local.astype(jnp.int32))}
+    if plane_assoc is not None:
+        diag["n_planes_matched"] = jnp.sum((plane_assoc >= 0).astype(jnp.int32))
+        diag["plane_assoc"] = plane_assoc
     return m, new_ts, diag

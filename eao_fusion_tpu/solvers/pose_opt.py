@@ -138,8 +138,15 @@ def optimize_pose(pose0: jax.Array, obs: PoseObs,
         chi2 = jnp.sum(r * r, axis=-1) * w
         return chi2, stereo, behind
 
+    def plane_chi2(pose):
+        if plane_obs is None:
+            return None
+        r_ang, r_dst, _, _ = _plane_residual_jac(pose, plane_obs)
+        return (cfg.plane_angle_info * jnp.sum(r_ang * r_ang, axis=-1)
+                + cfg.plane_dist_info * jnp.sum(r_dst * r_dst, axis=-1))
+
     def round_body(carry, _):
-        pose, inlier = carry
+        pose, inlier, pl_inlier = carry
 
         def gn_iter(i, pose):
             r, J, stereo, behind = _point_residual_jac(
@@ -158,7 +165,14 @@ def optimize_pose(pose0: jax.Array, obs: PoseObs,
 
             if plane_obs is not None:
                 r_ang, r_dst, J_ang, J_dst = _plane_residual_jac(pose, plane_obs)
-                pw = plane_obs.valid.astype(jnp.float32)
+                # Huber on the combined plane chi2, plus the round's
+                # inlier gate (chi2 <= 300, `src/Optimizer.cc:623-660`)
+                c2 = (cfg.plane_angle_info * jnp.sum(r_ang * r_ang, -1)
+                      + cfg.plane_dist_info * jnp.sum(r_dst * r_dst, -1))
+                hub_p = jnp.minimum(1.0, jnp.sqrt(
+                    cfg.plane_chi2 / jnp.maximum(c2, 1e-12)))
+                pw = (plane_obs.valid.astype(jnp.float32) * hub_p
+                      * pl_inlier.astype(jnp.float32))
                 H = H + cfg.plane_angle_info * jnp.einsum(
                     "qri,q,qrj->ij", J_ang, pw, J_ang)
                 b = b - cfg.plane_angle_info * jnp.einsum(
@@ -181,11 +195,18 @@ def optimize_pose(pose0: jax.Array, obs: PoseObs,
         chi2, stereo, behind = chi2_fn(pose, inlier)
         thresh = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
         inlier = (chi2 <= thresh) & obs.valid & (~behind)
-        return (pose, inlier), None
+        pc2 = plane_chi2(pose)
+        if pc2 is not None:
+            pl_inlier_new = (pc2 <= cfg.plane_chi2) & plane_obs.valid
+        else:
+            pl_inlier_new = pl_inlier
+        return (pose, inlier, pl_inlier_new), None
 
     inlier0 = obs.valid
-    (pose, inlier), _ = jax.lax.scan(round_body, (pose0, inlier0),
-                                     None, length=cfg.pose_rounds)
+    pl0 = (plane_obs.valid if plane_obs is not None
+           else jnp.zeros((1,), bool))
+    (pose, inlier, _), _ = jax.lax.scan(round_body, (pose0, inlier0, pl0),
+                                        None, length=cfg.pose_rounds)
     chi2, stereo, _ = chi2_fn(pose, inlier)
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return PoseOptResult(pose=pose, inliers=inlier,
