@@ -43,7 +43,8 @@ def main():
     cfg = SystemConfig()
 
     n_frames = 24
-    seq = synthetic.generate_sequence(n_frames=n_frames, seed=0, style="arc")
+    seq = synthetic.generate_sequence(n_frames=n_frames, seed=0, style="arc",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
     log(f"[{time.time()-t0:.1f}s] rendered {n_frames} frames")
 
     sys_ = System(cfg)
@@ -69,11 +70,13 @@ def main():
     jax.block_until_ready(n)
     log(f"[{time.time()-t0:.1f}s] compiled; warm inliers={int(n)}")
 
+    # palindrome order keeps the constant-velocity model valid across wraps
+    order = list(range(len(imgs))) + list(range(len(imgs) - 2, 0, -1))
     n_timed = 60
     t1 = time.time()
     ninl = None
     for i in range(n_timed):
-        gray, depth = imgs[i % len(imgs)]
+        gray, depth = imgs[order[i % len(order)]]
         m, ts, ninl = step(m, ts, gray, depth, jnp.int32(12 + i))
     jax.block_until_ready(ninl)
     dt = time.time() - t1

@@ -15,7 +15,7 @@ from eao_fusion_tpu.ops import lie
 print(f"[{time.time()-t0:.1f}s] jax ready, devices={jax.devices()}")
 
 cfg = SystemConfig()
-seq = synthetic.generate_sequence(n_frames=3, seed=0)
+seq = synthetic.generate_sequence(n_frames=3, seed=0, cache_dir=synthetic.DEFAULT_CACHE)
 print(f"[{time.time()-t0:.1f}s] synthetic seq rendered "
       f"gray_mean={seq.frames[0].gray.mean():.3f} depth_med="
       f"{np.median(seq.frames[0].depth[seq.frames[0].depth>0]):.2f}")

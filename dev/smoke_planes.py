@@ -8,7 +8,7 @@ from eao_fusion_tpu.ops import planes as plane_ops, lie
 from eao_fusion_tpu.mapping import plane_map
 
 cfg = SystemConfig()
-seq = synthetic.generate_sequence(n_frames=3, seed=0)
+seq = synthetic.generate_sequence(n_frames=3, seed=0, cache_dir=synthetic.DEFAULT_CACHE)
 
 # GT world planes of the room (camera0 = world): floor y=1.2, back z=4.5,
 # left x=-3, right x=3  (n·x + d = 0)

@@ -105,11 +105,14 @@ def make_room_scene(seed: int = 0, n_objects: int = 4) -> Scene:
     ]
     boxes = []
     for i in range(n_objects):
-        cx = r.uniform(-1.8, 1.8)
-        cz = r.uniform(2.0, 4.0)
-        w, h, d = r.uniform(0.25, 0.55, 3)
-        lo = v(cx - w / 2, 1.2 - h, cz - d / 2)
-        hi = v(cx + w / 2, 1.2, cz + d / 2)
+        # at "table height" so their projection clears the image border
+        # (the detector-edge suppression would otherwise reject them)
+        cx = r.uniform(-1.5, 1.5)
+        cz = r.uniform(2.9, 4.2)
+        w, h, d = r.uniform(0.3, 0.55, 3)
+        y_bottom = r.uniform(0.55, 0.9)
+        lo = v(cx - w / 2, y_bottom - h, cz - d / 2)
+        hi = v(cx + w / 2, y_bottom, cz + d / 2)
         boxes.append(BoxPrim(lo, hi, 4 + i, class_id=i % 8))
     return Scene(rects, boxes, textures)
 
@@ -264,9 +267,25 @@ def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
 def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
                       camera: Optional[CameraConfig] = None,
                       depth_noise: float = 0.0, n_objects: int = 4,
-                      fps: float = 30.0) -> SyntheticSequence:
+                      fps: float = 30.0,
+                      cache_dir: Optional[str] = None) -> SyntheticSequence:
+    """Render (or load from `cache_dir`) a ground-truthed RGBD sequence.
+    Rendering is ~15 s/frame on a slow host CPU, so tests and benches pass a
+    cache directory keyed on all generation parameters."""
+    import os
     cam = camera or CameraConfig()
+    key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
+           f"_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
+    path = os.path.join(cache_dir, key) if cache_dir else None
     scene = make_room_scene(seed=seed, n_objects=n_objects)
+    if path and os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        frames = [SyntheticFrame(gray=z["gray"][i], depth=z["depth"][i],
+                                 tcw=z["tcw"][i], timestamp=float(z["ts"][i]),
+                                 boxes=z["boxes_%d" % i])
+                  for i in range(int(z["n"]))]
+        return SyntheticSequence(frames=frames, camera=cam, scene=scene)
+
     tcws = make_trajectory(n_frames, style)
     r = np.random.default_rng(seed + 1)
     frames = []
@@ -275,4 +294,17 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
         boxes = project_boxes(scene, cam, tcws[i])
         frames.append(SyntheticFrame(gray=gray, depth=depth, tcw=tcws[i],
                                      timestamp=i / fps, boxes=boxes))
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        payload = {"n": n_frames,
+                   "gray": np.stack([f.gray for f in frames]),
+                   "depth": np.stack([f.depth for f in frames]),
+                   "tcw": np.stack([f.tcw for f in frames]),
+                   "ts": np.array([f.timestamp for f in frames])}
+        for i, f in enumerate(frames):
+            payload["boxes_%d" % i] = f.boxes
+        np.savez_compressed(path, **payload)
     return SyntheticSequence(frames=frames, camera=cam, scene=scene)
+
+
+DEFAULT_CACHE = "/root/.cache/eao_synth"

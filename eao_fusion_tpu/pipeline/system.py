@@ -55,6 +55,13 @@ class System:
         self.frame_id = 0
         self.n_keyframes = 0
         self.diags: List[dict] = []
+        from eao_fusion_tpu.objects import object_map as om
+        self.objects = om.empty_table(self.cfg)
+        self._key = jax.random.PRNGKey(7)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
 
     # ------------------------------------------------------------------
     def process_frame(self, gray: np.ndarray, depth: np.ndarray,
@@ -105,7 +112,32 @@ class System:
         self.diags.append({k: int(v) for k, v in diag.items()
                            if getattr(v, "ndim", 0) == 0})
 
-        if bool(diag["need_kf"]):
+        # ---- object lane (EAO): build frame objects, ensemble-associate,
+        # update the object table (`Tracking::TrackWithMotionModel`
+        # object block, `src/Tracking.cc:1733-2177`) ----
+        new_object = False
+        if (cfg.use_objects and boxes is not None and len(boxes)
+                and int(self.track.status) == tracking.STATUS_OK):
+            from eao_fusion_tpu.objects import (association, object_map as om,
+                                                update as obj_update)
+            fo = om.build_frame_objects(
+                jnp.asarray(np.asarray(boxes, np.float32)), feats,
+                self.track.kp_pt, self.map.pt_xyz, self.map.pt_valid,
+                self.track.pose, cfg=cfg)
+            assoc = association.ensemble_associate(
+                self.objects, fo, self.map.pt_xyz, self.track.pose,
+                jnp.int32(self.frame_id), cfg=cfg)
+            before = int(self.objects.next_obj)
+            self.objects = obj_update.object_update(
+                self.objects, fo, assoc, self.map.pt_xyz, self.track.pose,
+                jnp.int32(self.frame_id), self._next_key(), cfg=cfg)
+            new_object = int(self.objects.next_obj) > before
+
+        # a newly created map object also triggers a keyframe (the
+        # reference's NeedNewKeyFrame returns 2 on AppearNewObject,
+        # `src/Tracking.cc:2390-2462`)
+        if bool(diag["need_kf"]) or (new_object
+                                     and self.map.next_kf < self.map.max_kf):
             self.map = insert_keyframe_rgbd(
                 self.map, feats, self.track.pose, self.track.kp_pt,
                 self.frame_id, timestamp, cfg=cfg, is_init=False)
@@ -134,6 +166,11 @@ class System:
             # tracking state caches the KF's associations; BA may have
             # removed some as outliers — refresh from the map row
             self.track = self.track._replace(kp_pt=self.map.kf_pt_idx[slot])
+        if self.cfg.use_objects:
+            # keyframe-rate object maintenance (`LocalMapping::Run` :86-91)
+            from eao_fusion_tpu.objects import merge as obj_merge
+            self.objects = obj_merge.merge_and_overlap(
+                self.objects, self.map.pt_xyz, self._next_key(), cfg=self.cfg)
 
     def _update_planes(self, planes, pose) -> None:
         """Keyframe-rate plane landmark update (association re-done with the

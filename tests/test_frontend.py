@@ -14,7 +14,7 @@ from eao_fusion_tpu.ops import hamming, lie, orb as orb_ops
 @pytest.fixture(scope="module")
 def seq():
     from eao_fusion_tpu.io import synthetic
-    return synthetic.generate_sequence(n_frames=3, seed=0, style="arc")
+    return synthetic.generate_sequence(n_frames=3, seed=0, style="arc", cache_dir=synthetic.DEFAULT_CACHE)
 
 
 @pytest.fixture(scope="module")

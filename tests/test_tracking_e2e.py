@@ -20,7 +20,7 @@ def small_cfg():
 
 @pytest.mark.slow
 def test_rgbd_arc_ate():
-    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc")
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc", cache_dir=synthetic.DEFAULT_CACHE)
     s = System(small_cfg())
     for f in seq.frames:
         s.process_frame(f.gray, f.depth, f.timestamp)
@@ -32,7 +32,7 @@ def test_rgbd_arc_ate():
 
 @pytest.mark.slow
 def test_rgbd_forward_ate():
-    seq = synthetic.generate_sequence(n_frames=15, seed=3, style="forward")
+    seq = synthetic.generate_sequence(n_frames=15, seed=3, style="forward", cache_dir=synthetic.DEFAULT_CACHE)
     s = System(small_cfg())
     for f in seq.frames:
         s.process_frame(f.gray, f.depth, f.timestamp)
@@ -43,7 +43,8 @@ def test_rgbd_forward_ate():
 @pytest.mark.slow
 def test_depth_noise_robustness():
     seq = synthetic.generate_sequence(n_frames=12, seed=5, style="arc",
-                                      depth_noise=0.01)
+                                      depth_noise=0.01,
+                                      cache_dir=synthetic.DEFAULT_CACHE)
     s = System(small_cfg())
     for f in seq.frames:
         s.process_frame(f.gray, f.depth, f.timestamp)
