@@ -260,6 +260,7 @@ class SystemConfig:
     semantic_online: bool = False
     use_planes: bool = True
     use_objects: bool = True
+    use_loop_closing: bool = True
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)

@@ -58,6 +58,18 @@ class System:
         from eao_fusion_tpu.objects import object_map as om
         self.objects = om.empty_table(self.cfg)
         self._key = jax.random.PRNGKey(7)
+        self.loop_closer = None
+        if self.cfg.use_loop_closing:
+            from eao_fusion_tpu.mapping import vocabulary
+            from eao_fusion_tpu.pipeline.loop_closing import LoopCloser
+            import os
+            if os.path.exists(vocabulary.DEFAULT_VOCAB_PATH):
+                vocab = vocabulary.Vocabulary.load()
+            else:
+                vocab = vocabulary.Vocabulary.random(self.cfg.bow.n_words)
+            self.loop_closer = LoopCloser(self.cfg, vocab)
+        self.n_loops_closed = 0
+        self.n_relocalizations = 0
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -111,6 +123,22 @@ class System:
             cfg=cfg)
         self.diags.append({k: int(v) for k, v in diag.items()
                            if getattr(v, "ndim", 0) == 0})
+
+        # ---- relocalization on tracking loss (`src/Tracking.cc:999`) ----
+        if (int(self.track.status) == tracking.STATUS_LOST
+                and self.loop_closer is not None):
+            from eao_fusion_tpu.pipeline import relocalization
+            pose, kp_pt = relocalization.relocalize(
+                self.map, feats, self.loop_closer.bow,
+                self.loop_closer.vocab, self._next_key(), cfg=cfg)
+            if pose is not None:
+                self.track = self.track._replace(
+                    pose=jnp.asarray(pose), last_pose=jnp.asarray(pose),
+                    last_feats=feats, kp_pt=kp_pt,
+                    velocity=jnp.asarray(
+                        np.array([1, 0, 0, 0, 0, 0, 0], np.float32)),
+                    status=jnp.int32(tracking.STATUS_OK))
+                self.n_relocalizations += 1
 
         # ---- object lane (EAO): build frame objects, ensemble-associate,
         # update the object table (`Tracking::TrackWithMotionModel`
@@ -171,6 +199,16 @@ class System:
             from eao_fusion_tpu.objects import merge as obj_merge
             self.objects = obj_merge.merge_and_overlap(
                 self.objects, self.map.pt_xyz, self._next_key(), cfg=self.cfg)
+        if self.loop_closer is not None:
+            self.map, closed = self.loop_closer.on_keyframe(
+                self.map, slot, self._next_key())
+            if closed:
+                self.n_loops_closed += 1
+                # loop correction moved poses/points: refresh cached state
+                self.track = self.track._replace(
+                    pose=self.map.kf_pose[slot],
+                    last_pose=self.map.kf_pose[slot],
+                    kp_pt=self.map.kf_pt_idx[slot])
 
     def _update_planes(self, planes, pose) -> None:
         """Keyframe-rate plane landmark update (association re-done with the
