@@ -30,7 +30,90 @@ import jax.numpy as jnp
 from eao_fusion_tpu.config import SystemConfig
 from eao_fusion_tpu.mapping import covisibility
 from eao_fusion_tpu.mapping.map_state import MapState, update_point_stats
+from eao_fusion_tpu.ops import lie
 from eao_fusion_tpu.solvers import ba
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def create_points_mono(m: MapState, kf_slot: jax.Array, *,
+                       cfg: SystemConfig) -> MapState:
+    """Monocular new-point creation: epipolar triangulation of unmatched
+    keypoints between the new keyframe and its best covisible neighbors
+    (`LocalMapping::CreateNewMapPoints`, `src/LocalMapping.cc:211-456` with
+    `ORBmatcher::SearchForTriangulation`)."""
+    from eao_fusion_tpu.frontend import matcher as fm
+    from eao_fusion_tpu.solvers import triangulation
+
+    cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    s = cfg.orb.scale_factor
+    Z = covisibility.observation_indicator(m)
+    covis = covisibility.covisibility_counts(Z)
+    row = covis[kf_slot].at[kf_slot].set(0.0)
+    row = jnp.where(m.kf_valid, row, -1.0)
+    _, nbrs = jax.lax.top_k(row, 3)
+
+    def with_neighbor(m, nb):
+        ok_nb = (covis[kf_slot, nb] > 10) & m.kf_valid[nb] & (nb != kf_slot)
+        # unassociated keypoints on both sides
+        va = m.kf_kp_valid[kf_slot] & (m.kf_pt_idx[kf_slot] < 0)
+        vb = m.kf_kp_valid[nb] & (m.kf_pt_idx[nb] < 0)
+        mm = fm.mutual_match(m.kf_desc_pm1[kf_slot], va,
+                             m.kf_kp_angle[kf_slot],
+                             m.kf_desc_pm1[nb], vb, m.kf_kp_angle[nb],
+                             th=cfg.matcher.th_low, use_ratio=True,
+                             check_rotation=True)
+        tgt = mm.target_idx
+        pair_ok = (tgt >= 0) & ok_nb
+        jb = jnp.clip(tgt, 0, None)
+        res = triangulation.triangulate_checked(
+            m.kf_pose[kf_slot], m.kf_pose[nb],
+            m.kf_kp_uv[kf_slot], m.kf_kp_uv[nb][jb], pair_ok,
+            s ** (-2.0 * m.kf_kp_level[kf_slot].astype(jnp.float32)),
+            s ** (-2.0 * m.kf_kp_level[nb][jb].astype(jnp.float32)),
+            cam=cam)
+        make = res.ok & pair_ok
+        order = jnp.cumsum(make.astype(jnp.int32)) - 1
+        new_ids = jnp.where(make, m.next_pt + order, -1)
+        overflow = new_ids >= m.max_pt
+        make = make & (~overflow)
+        new_ids = jnp.where(make, new_ids, -1)
+        tgt_pt = jnp.where(make, new_ids, m.max_pt)
+
+        cam_center = lie.se3_inverse(m.kf_pose[kf_slot])[4:7]
+        view = res.xyz - cam_center
+        dist = jnp.linalg.norm(view, axis=-1)
+        lvl = m.kf_kp_level[kf_slot].astype(jnp.float32)
+        max_d = dist * (s ** lvl) * 1.2
+        m = m._replace(
+            pt_xyz=m.pt_xyz.at[tgt_pt].set(res.xyz, mode="drop"),
+            pt_valid=m.pt_valid.at[tgt_pt].set(True, mode="drop"),
+            pt_desc_pm1=m.pt_desc_pm1.at[tgt_pt].set(
+                m.kf_desc_pm1[kf_slot], mode="drop"),
+            pt_normal=m.pt_normal.at[tgt_pt].set(
+                view / jnp.maximum(dist[:, None], 1e-9), mode="drop"),
+            pt_min_dist=m.pt_min_dist.at[tgt_pt].set(
+                max_d / (s ** cfg.orb.n_levels), mode="drop"),
+            pt_max_dist=m.pt_max_dist.at[tgt_pt].set(max_d, mode="drop"),
+            pt_ref_kf=m.pt_ref_kf.at[tgt_pt].set(kf_slot, mode="drop"),
+            pt_found=m.pt_found.at[tgt_pt].set(1, mode="drop"),
+            pt_visible=m.pt_visible.at[tgt_pt].set(1, mode="drop"),
+            pt_first_frame=m.pt_first_frame.at[tgt_pt].set(
+                m.kf_frame_id[kf_slot], mode="drop"),
+            next_pt=jnp.minimum(m.next_pt
+                                + jnp.sum(make.astype(jnp.int32)), m.max_pt))
+        # record observations in both keyframes
+        kp_a = jnp.where(make, new_ids, m.kf_pt_idx[kf_slot])
+        m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_slot].set(kp_a))
+        n_slots = m.kf_pt_idx.shape[1]
+        row_b = m.kf_pt_idx[nb]
+        row_b = row_b.at[jnp.where(make, jb, n_slots)].set(
+            new_ids, mode="drop")
+        m = m._replace(kf_pt_idx=m.kf_pt_idx.at[nb].set(row_b))
+        return m
+
+    for k in range(3):
+        m = with_neighbor(m, nbrs[k])
+    return m
 
 
 def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:

@@ -76,24 +76,34 @@ class System:
         return k
 
     # ------------------------------------------------------------------
-    def process_frame(self, gray: np.ndarray, depth: np.ndarray,
+    def process_frame(self, gray: np.ndarray,
+                      depth: Optional[np.ndarray] = None,
                       timestamp: float = 0.0,
                       boxes: Optional[np.ndarray] = None,
                       initial_pose: Optional[np.ndarray] = None) -> np.ndarray:
-        """Track one RGBD frame; returns the estimated Tcw [7].
+        """Track one frame (RGBD if depth is given, monocular otherwise);
+        returns the estimated Tcw [7].
 
         `initial_pose` seeds the world frame at initialization (GT or
         IMU-gravity alignment, ConstraintType semantics of
         `src/Tracking.cc:1276-1308`)."""
         cfg = self.cfg
+        mono = depth is None or cfg.sensor == "mono"
         feats = extractor.extract_features(
-            jnp.asarray(gray), jnp.asarray(depth),
-            orb_cfg=cfg.orb, cam_cfg=cfg.camera)
+            jnp.asarray(gray),
+            None if mono else jnp.asarray(depth),
+            orb_cfg=cfg.orb, cam_cfg=cfg.camera, with_depth=not mono)
         planes = None
-        if cfg.use_planes:
+        if cfg.use_planes and not mono:
             from eao_fusion_tpu.ops import planes as plane_ops
             planes = plane_ops.segment_planes(
                 jnp.asarray(depth), cam=cfg.camera, cfg=cfg.planes)
+
+        if mono and int(self.track.status) == tracking.STATUS_UNINIT:
+            pose = self._try_mono_init(feats, timestamp, initial_pose)
+            self._record(pose, timestamp)
+            self.frame_id += 1
+            return np.asarray(pose)
 
         if int(self.track.status) == tracking.STATUS_UNINIT:
             pose = jnp.asarray(initial_pose if initial_pose is not None
@@ -188,6 +198,10 @@ class System:
         """Keyframe-rate mapping: point culling + local BA + stat refresh
         (the reference's LocalMapping thread, SURVEY.md §3.3)."""
         from eao_fusion_tpu.pipeline import local_mapping
+        if self.cfg.sensor == "mono" and self.n_keyframes >= 2:
+            # monocular landmark creation by epipolar triangulation
+            self.map = local_mapping.create_points_mono(
+                self.map, jnp.int32(slot), cfg=self.cfg)
         if self.n_keyframes >= 3:
             self.map = local_mapping.local_mapping_step(
                 self.map, jnp.int32(slot), cfg=self.cfg)
@@ -209,6 +223,111 @@ class System:
                     pose=self.map.kf_pose[slot],
                     last_pose=self.map.kf_pose[slot],
                     kp_pt=self.map.kf_pt_idx[slot])
+
+    def _try_mono_init(self, feats, timestamp, initial_pose) -> jnp.ndarray:
+        """Monocular two-view initialization
+        (`Tracking::MonocularInitialization` + `CreateInitialMapMonocular`,
+        `src/Tracking.cc:1337-1549`): hold a reference frame, match against
+        it, run the H/F initializer, build the initial map with the median
+        scene depth normalized to 1, then full BA."""
+        from eao_fusion_tpu.frontend import matcher
+        from eao_fusion_tpu.ops import twoview
+        cfg = self.cfg
+        ident = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+        ref = getattr(self, "_mono_ref", None)
+        if ref is None or int(feats.valid.sum()) < 100:
+            self._mono_ref = (feats, timestamp, self.frame_id)
+            return ident
+        ref_feats, ref_ts, ref_fid = ref
+        mm = matcher.mutual_match(ref_feats.desc_pm1, ref_feats.valid,
+                                  ref_feats.angle, feats.desc_pm1,
+                                  feats.valid, feats.angle,
+                                  th=64, use_ratio=True, check_rotation=True)
+        tgt = np.asarray(mm.target_idx)
+        ia = np.where(tgt >= 0)[0]
+        if len(ia) < 100:
+            self._mono_ref = (feats, timestamp, self.frame_id)
+            return ident
+        n = cfg.orb.max_keypoints
+        uv1 = np.zeros((n, 2), np.float32)
+        uv2 = np.zeros((n, 2), np.float32)
+        valid = np.zeros(n, bool)
+        uv1[:len(ia)] = np.asarray(ref_feats.uv)[ia]
+        uv2[:len(ia)] = np.asarray(feats.uv)[tgt[ia]]
+        valid[:len(ia)] = True
+        cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+        res = twoview.initialize_two_view(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(valid),
+            self._next_key(), cam=cam)
+        if not bool(res.success):
+            return ident
+
+        # scale: median triangulated depth -> 1 (`src/Tracking.cc:1497-1515`)
+        ok = np.asarray(res.ok)
+        xyz = np.array(np.asarray(res.xyz))
+        med = float(np.median(xyz[ok][:, 2]))
+        if med <= 0:
+            return ident
+        xyz /= med
+        tcw2 = np.array(np.asarray(res.tcw2))
+        tcw2[4:7] /= med
+
+        pose1 = jnp.asarray(initial_pose) if initial_pose is not None \
+            else ident
+        # insert both keyframes
+        kp_pt_empty = jnp.full((n,), -1, jnp.int32)
+        self.map, k1 = ms.insert_keyframe(self.map, ref_feats, pose1,
+                                          ref_fid, ref_ts, kp_pt_empty)
+        tcw2_w = np.asarray(lie.se3_compose(jnp.asarray(tcw2), pose1))
+        self.map, k2 = ms.insert_keyframe(self.map, feats,
+                                          jnp.asarray(tcw2_w),
+                                          self.frame_id, timestamp,
+                                          kp_pt_empty)
+        # insert triangulated points with observations in both keyframes;
+        # `ok` indexes the padded match slots — map back to keypoint ids
+        slot = np.where(ok[:len(ia)])[0]
+        kp1 = ia[slot]
+        kp2 = tgt[kp1]
+        pids = np.arange(len(kp1), dtype=np.int32)
+        xyz_w = np.asarray(lie.se3_apply(lie.se3_inverse(pose1),
+                                         jnp.asarray(xyz[:len(ia)][slot])))
+        m = self.map
+        m = m._replace(
+            pt_xyz=m.pt_xyz.at[jnp.asarray(pids)].set(jnp.asarray(xyz_w)),
+            pt_valid=m.pt_valid.at[jnp.asarray(pids)].set(True),
+            pt_desc_pm1=m.pt_desc_pm1.at[jnp.asarray(pids)].set(
+                feats.desc_pm1[jnp.asarray(kp2)]),
+            pt_ref_kf=m.pt_ref_kf.at[jnp.asarray(pids)].set(k1),
+            pt_max_dist=m.pt_max_dist.at[jnp.asarray(pids)].set(10.0),
+            pt_found=m.pt_found.at[jnp.asarray(pids)].set(2),
+            pt_visible=m.pt_visible.at[jnp.asarray(pids)].set(2),
+            pt_first_frame=m.pt_first_frame.at[jnp.asarray(pids)].set(
+                jnp.int32(ref_fid)),
+            next_pt=jnp.int32(len(kp1)))
+        m = m._replace(
+            kf_pt_idx=m.kf_pt_idx
+            .at[k1, jnp.asarray(kp1)].set(jnp.asarray(pids))
+            .at[k2, jnp.asarray(kp2)].set(jnp.asarray(pids)))
+        self.map = ms.update_point_stats(m)
+        self.n_keyframes = 2
+
+        # full BA on the initial map (`Optimizer::GlobalBundleAdjustemnt`
+        # at mono init, `src/Tracking.cc:1466`)
+        if self.loop_closer is not None:
+            self.map = self.loop_closer._global_ba(self.map)
+            self.loop_closer.add_keyframe_bow(self.map, int(k1))
+            self.loop_closer.add_keyframe_bow(self.map, int(k2))
+
+        kp_pt = self.map.kf_pt_idx[k2]
+        self.track = self.track._replace(
+            pose=self.map.kf_pose[k2], last_pose=self.map.kf_pose[k2],
+            last_feats=feats, kp_pt=kp_pt,
+            status=jnp.int32(tracking.STATUS_OK),
+            frame_id=jnp.int32(self.frame_id),
+            last_kf_frame_id=jnp.int32(self.frame_id),
+            ref_kf=jnp.int32(int(k2)))
+        self._mono_ref = None
+        return self.map.kf_pose[k2]
 
     def _update_planes(self, planes, pose) -> None:
         """Keyframe-rate plane landmark update (association re-done with the

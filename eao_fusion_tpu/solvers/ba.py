@@ -118,7 +118,17 @@ def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
     obs_ok0 = (prob.obs_valid & (prob.obs_pt >= 0)
                & prob.cam_valid[:, None])
 
-    def gn_iter(state, active):
+    def total_chi2(cam_pose, pt_xyz, active):
+        r, _, _, stereo, behind = _residuals(prob, cam_pose, pt_xyz, cam)
+        c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+        # robustified cost (Huber) so the accept test matches the solve
+        delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        c2r = jnp.where(c2 <= delta2, c2,
+                        2.0 * jnp.sqrt(delta2 * c2) - delta2)
+        w = active.astype(jnp.float32) * (1.0 - behind.astype(jnp.float32))
+        return jnp.sum(c2r * w)
+
+    def gn_iter(state, active, damping):
         cam_pose, pt_xyz = state
         r, J_c, J_p, stereo, behind = _residuals(prob, cam_pose, pt_xyz, cam)
         w, _ = _weights(r, stereo, behind, prob, active, cfg)
@@ -127,7 +137,7 @@ def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
         w_c = w * free_cam[:, None]
 
         Hcc = jnp.einsum("cnri,cn,cnrj->cij", J_c, w_c, J_c)
-        bc = -jnp.einsum("cnri,cn,cnr->ci", J_c, w_c, J_c[..., 0] * 0 + r)
+        bc = -jnp.einsum("cnri,cn,cnr->ci", J_c, w_c, r)
         # point system over all P (padded slot P for drop)
         pid = prob.obs_pt
         flat_pid = jnp.where(active, pid, P).reshape(-1)
@@ -203,16 +213,29 @@ def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
         delta_p = dp_chunks.reshape(P_pad, 3)[:P]
         delta_p = jnp.where(good & pt_free[:, None], delta_p, 0.0)
         # clamp wild point moves (robustness against ill-conditioned Hpp)
-        delta_p = jnp.clip(delta_p, -1.0, 1.0)
+        delta_p = jnp.clip(delta_p, -10.0, 10.0)
 
         cam_pose = jax.vmap(lie.se3_retract)(cam_pose, delta_c)
         pt_xyz = pt_xyz + delta_p
         return (cam_pose, pt_xyz)
 
     def run_phase(state, active, iters):
-        def body(i, st):
-            return gn_iter(st, active)
-        return jax.lax.fori_loop(0, iters, body, state)
+        """Levenberg-Marquardt schedule: accept a step only if the
+        robustified chi2 decreases; otherwise raise the damping (the g2o
+        behavior the reference relies on, `src/Optimizer.cc:965-1007`)."""
+        def body(carry, _):
+            st, lam = carry
+            cand = gn_iter(st, active, lam)
+            c_old = total_chi2(st[0], st[1], active)
+            c_new = total_chi2(cand[0], cand[1], active)
+            accept = (c_new < c_old) & jnp.isfinite(c_new)
+            st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, cand)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
+                            jnp.minimum(lam * 5.0, 1e3))
+            return (st, lam), None
+        (state, _), _ = jax.lax.scan(body, (state, jnp.float32(damping)),
+                                     None, length=iters)
+        return state
 
     state = (prob.cam_pose, prob.pt_xyz)
     state = run_phase(state, obs_ok0, n_iters1)
