@@ -1,0 +1,143 @@
+"""Run the SLAM engine on a TUM RGBD sequence.
+
+The CLI counterpart of the reference's ROS apps (`ros_test/app/ros_rgbd.cpp`
+/ `ros_rgbd_imu.cpp` + message_flow): reads a TUM dataset directory
+(rgb.txt / depth.txt, associated by nearest timestamp), optionally offline
+YOLO detection files (`<ts>.txt` rows `class x y w h score`, the reference's
+`data/yolo_txts` format) and a groundtruth.txt for ConstraintType=1 world
+alignment + final ATE, tracks every frame, and writes TUM/KITTI
+trajectories (`System::SaveTrajectoryTUM/KITTI` formats).
+
+Usage:
+  python apps/run_tum.py DATASET_DIR [--boxes DIR] [--gt FILE]
+      [--out traj.txt] [--mono] [--no-planes] [--no-objects]
+      [--checkpoint out.npz] [--max-frames N] [--mode Full|NA|IoU|NP]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def load_image(path: str, gray: bool) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path)
+    a = np.asarray(img)
+    if gray:
+        if a.ndim == 3:
+            a = a @ np.array([0.299, 0.587, 0.114])
+        return (a / 255.0).astype(np.float32)
+    return a
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset")
+    ap.add_argument("--boxes", default=None,
+                    help="directory of per-timestamp detection txts")
+    ap.add_argument("--gt", default=None)
+    ap.add_argument("--out", default="trajectory_tum.txt")
+    ap.add_argument("--kitti", default=None)
+    ap.add_argument("--mono", action="store_true")
+    ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--no-objects", action="store_true")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--mode", default="Full",
+                    help="association ablation flag (Full/NA/IoU/NP/None)")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--depth-factor", type=float, default=5000.0)
+    args = ap.parse_args(argv)
+
+    from eao_fusion_tpu.config import tum_fr3_config
+    from eao_fusion_tpu.io import tum
+    from eao_fusion_tpu.pipeline.system import System
+
+    import dataclasses
+    cfg = tum_fr3_config(
+        sensor="mono" if args.mono else "rgbd",
+        use_planes=not args.no_planes and not args.mono,
+        use_objects=not args.no_objects,
+        use_loop_closing=not args.no_loop)
+    cfg = cfg.replace(objects=dataclasses.replace(cfg.objects,
+                                                  mode=args.mode))
+
+    rgb_list = tum.read_image_list(os.path.join(args.dataset, "rgb.txt"))
+    depth_list = [] if args.mono else tum.read_image_list(
+        os.path.join(args.dataset, "depth.txt"))
+    pairs = tum.associate_timestamps(
+        np.array([t for t, _ in rgb_list]),
+        np.array([t for t, _ in depth_list])) if depth_list else \
+        [(i, -1) for i in range(len(rgb_list))]
+    if args.max_frames:
+        pairs = pairs[:args.max_frames]
+
+    gt_pose0 = None
+    if args.gt:
+        gt_ts, gt_twc = tum.read_groundtruth(args.gt)
+
+    s = System(cfg)
+    if args.resume:
+        from eao_fusion_tpu.io import checkpoint
+        checkpoint.load_state(args.resume, s)
+
+    t0 = time.time()
+    for n, (ri, di) in enumerate(pairs):
+        ts_img, rgb_path = rgb_list[ri]
+        gray = load_image(os.path.join(args.dataset, rgb_path), gray=True)
+        depth = None
+        if di >= 0:
+            draw = load_image(os.path.join(args.dataset, depth_list[di][1]),
+                              gray=False)
+            depth = (draw.astype(np.float32) / args.depth_factor)
+        boxes = None
+        if args.boxes:
+            boxes = tum.read_yolo_boxes(
+                os.path.join(args.boxes, f"{ts_img:.6f}.txt"))
+        init_pose = None
+        if args.gt and n == 0:
+            j = int(np.argmin(np.abs(gt_ts - ts_img)))
+            from eao_fusion_tpu.ops import lie
+            init_pose = np.asarray(lie.se3_inverse(gt_twc[j]))
+        s.process_frame(gray, depth, ts_img, boxes=boxes,
+                        initial_pose=init_pose)
+        if n % 50 == 0:
+            d = s.diags[-1] if s.diags else {}
+            print(f"frame {n}/{len(pairs)} kf={s.n_keyframes} "
+                  f"inl={d.get('n_inliers', '-')} "
+                  f"{(n + 1) / (time.time() - t0):.1f} fps", flush=True)
+
+    tum.write_trajectory_tum(args.out, s.timestamps, s.trajectory_tcw())
+    print(f"wrote {args.out} ({len(s.trajectory)} poses, "
+          f"{s.n_keyframes} keyframes, loops={s.n_loops_closed}, "
+          f"relocs={s.n_relocalizations})")
+    if args.kitti:
+        tum.write_trajectory_kitti(args.kitti, s.trajectory_tcw())
+    if args.checkpoint:
+        from eao_fusion_tpu.io import checkpoint
+        checkpoint.save_state(args.checkpoint, s)
+        print(f"checkpoint -> {args.checkpoint}")
+
+    if args.gt:
+        est_ts = np.array(s.timestamps)
+        prs = tum.associate_timestamps(est_ts, gt_ts)
+        if len(prs) > 3:
+            ei = [a for a, _ in prs]
+            gi = [b for _, b in prs]
+            from eao_fusion_tpu.ops import lie
+            gt_tcw = np.asarray(lie.se3_inverse(gt_twc[gi]))
+            err = tum.evaluate_ate_rpe(s.trajectory_tcw()[ei], gt_tcw,
+                                       align=True, with_scale=args.mono)
+            print(f"ATE RMSE {err.ate_rmse*100:.2f} cm  "
+                  f"median {err.ate_median*100:.2f} cm  "
+                  f"RPE {err.rpe_trans_rmse*100:.2f} cm")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,37 @@ def create_points_mono(m: MapState, kf_slot: jax.Array, *,
     return m
 
 
+def cull_keyframes(m: MapState, cur_kf: jax.Array,
+                   redundancy: float = 0.9) -> MapState:
+    """KeyFrame culling (`LocalMapping::KeyFrameCulling`,
+    `src/LocalMapping.cc:636-706`): a covisible keyframe is removed when
+    >= 90% of its tracked points are observed by at least 3 other
+    keyframes. The reference's same-or-finer-scale condition is
+    approximated by the raw observation count; keyframe 0 and the two most
+    recent keyframes are protected. At most one keyframe is culled per call
+    (the most redundant), which converges across keyframes."""
+    Z = covisibility.observation_indicator(m)
+    covis = covisibility.covisibility_counts(Z)
+    obs_count = jnp.sum(Z, axis=0)                       # [P]
+
+    pt = m.kf_pt_idx
+    tracked = (pt >= 0) & m.pt_valid[jnp.clip(pt, 0, None)] & m.kf_kp_valid
+    redundant = tracked & (obs_count[jnp.clip(pt, 0, None)] >= 4.0)
+    n_tracked = jnp.sum(tracked, axis=1).astype(jnp.float32)
+    n_red = jnp.sum(redundant, axis=1).astype(jnp.float32)
+    ratio = n_red / jnp.maximum(n_tracked, 1.0)
+
+    local = covis[cur_kf] >= 15
+    cand = (m.kf_valid & local & (ratio > redundancy) & (n_tracked > 20)
+            & (jnp.arange(m.max_kf) != 0)
+            & (jnp.arange(m.max_kf) < m.next_kf - 2))
+    victim = jnp.argmax(jnp.where(cand, ratio, -1.0))
+    do_cull = jnp.any(cand)
+    m = m._replace(kf_valid=m.kf_valid.at[victim].set(
+        m.kf_valid[victim] & (~do_cull)))
+    return m
+
+
 def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:
     """MapPointCulling semantics."""
     Z = covisibility.observation_indicator(m)
@@ -211,6 +242,7 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     m = m._replace(kf_pt_idx=m.kf_pt_idx.at[tgt_rows].set(
         new_rows, mode="drop"))
 
+    m = cull_keyframes(m, kf_slot)
     m = refresh_point_descriptors(m)
     m = update_point_stats(m)
     return m

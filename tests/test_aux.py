@@ -1,0 +1,91 @@
+"""Auxiliary subsystems: IMU gravity alignment, checkpoint/resume,
+keyframe culling, isolation forest."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.io import imu
+from eao_fusion_tpu.ops import lie
+
+
+class TestImu:
+    def test_gravity_alignment_z(self):
+        """After alignment, the measured accel must map to the +z world
+        axis (gravity_axis=3)."""
+        a = np.array([0.3, -9.5, 1.2])
+        pose = imu.gravity_init_pose(a, gravity_axis=3)
+        R = np.asarray(lie.quat_to_rotmat(jnp.asarray(pose[:4])))
+        g_world = R.T @ (a / np.linalg.norm(a))  # columns are world axes
+        np.testing.assert_allclose(g_world, [0, 0, 1], atol=1e-6)
+        assert abs(np.linalg.det(R) - 1) < 1e-5
+
+    def test_gravity_alignment_y(self):
+        a = np.array([0.1, 9.8, 0.2])
+        pose = imu.gravity_init_pose(a, gravity_axis=2)
+        R = np.asarray(lie.quat_to_rotmat(jnp.asarray(pose[:4])))
+        g_world = R.T @ (a / np.linalg.norm(a))
+        np.testing.assert_allclose(g_world, [0, 1, 0], atol=1e-6)
+
+    def test_sync_interpolates(self):
+        samples = [imu.ImuSample(t, np.array([t, 0, 0]), np.array([0, t, 0]))
+                   for t in (0.0, 0.1, 0.2)]
+        s = imu.sync_imu(samples, 0.15)
+        assert s is not None
+        np.testing.assert_allclose(s.accel[0], 0.15, atol=1e-9)
+
+    def test_sync_rejects_stale(self):
+        samples = [imu.ImuSample(0.0, np.zeros(3), np.zeros(3))]
+        assert imu.sync_imu(samples, 0.5) is None
+
+
+class TestCheckpoint:
+    @pytest.mark.slow
+    def test_roundtrip(self, tmp_path):
+        from eao_fusion_tpu.config import SystemConfig, ORBConfig, MapCapacity
+        from eao_fusion_tpu.io import checkpoint, synthetic
+        from eao_fusion_tpu.pipeline.system import System
+
+        cfg = SystemConfig(
+            orb=ORBConfig(n_features=300, max_keypoints=256),
+            capacity=MapCapacity(max_keyframes=32, max_points=2048),
+            use_planes=False, use_objects=False, use_loop_closing=False)
+        seq = synthetic.generate_sequence(n_frames=8, seed=0, style="arc",
+                                          cache_dir=synthetic.DEFAULT_CACHE)
+        s = System(cfg)
+        for f in seq.frames[:5]:
+            s.process_frame(f.gray, f.depth, f.timestamp)
+        p = str(tmp_path / "ckpt.npz")
+        checkpoint.save_state(p, s)
+
+        s2 = System(cfg)
+        checkpoint.load_state(p, s2)
+        assert s2.frame_id == s.frame_id
+        assert s2.n_keyframes == s.n_keyframes
+        np.testing.assert_allclose(np.asarray(s2.map.pt_xyz),
+                                   np.asarray(s.map.pt_xyz))
+        # resumed system keeps tracking
+        for f in seq.frames[5:]:
+            s2.process_frame(f.gray, f.depth, f.timestamp)
+        assert s2.diags[-1]["n_inliers"] > 40
+
+
+class TestIsolationForest:
+    def test_flags_outliers(self):
+        from eao_fusion_tpu.objects import iforest
+        r = np.random.default_rng(0)
+        pts = np.zeros((128, 3), np.float32)
+        pts[:100] = r.normal(0, 0.1, (100, 3))       # dense cluster
+        pts[100:110] = r.uniform(2, 4, (10, 3))      # far outliers
+        valid = np.zeros(128, bool)
+        valid[:110] = True
+        s = np.asarray(iforest.anomaly_scores(
+            jnp.asarray(pts), jnp.asarray(valid), jax.random.PRNGKey(0)))
+        assert s[100:110].mean() > s[:100].mean() + 0.1
+        cull = np.asarray(iforest.cull_mask(
+            jnp.asarray(pts), jnp.asarray(valid), jax.random.PRNGKey(1), 0.6))
+        assert cull[100:110].sum() >= 7      # most outliers culled
+        assert cull[:100].sum() <= 10        # few inliers lost
+        assert not cull[110:].any()
