@@ -109,7 +109,9 @@ class System:
             pose = jnp.asarray(initial_pose if initial_pose is not None
                                else np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
             n_depth = int(jnp.sum((feats.depth > 0) & feats.valid))
-            if n_depth >= 500:
+            # 500-point gate of `StereoInitialization`, scaled to the
+            # configured keypoint budget
+            if n_depth >= min(500, cfg.orb.max_keypoints // 2):
                 kp_pt = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
                 self.map = insert_keyframe_rgbd(
                     self.map, feats, pose, kp_pt, self.frame_id, timestamp,
