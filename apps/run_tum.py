@@ -87,15 +87,37 @@ def main(argv=None):
         from eao_fusion_tpu.io import checkpoint
         checkpoint.load_state(args.resume, s)
 
+    # frame source: native prefetcher (background C++ PNG decode) when
+    # built, PIL fallback otherwise
+    from eao_fusion_tpu.io import native_loader
+
+    def frame_iter():
+        if native_loader.available():
+            rgbs = [os.path.join(args.dataset, rgb_list[ri][1])
+                    for ri, _ in pairs]
+            deps = [os.path.join(args.dataset, depth_list[di][1])
+                    for _, di in pairs] if depth_list else None
+            tss = [rgb_list[ri][0] for ri, _ in pairs]
+            pf = native_loader.FramePrefetcher(
+                rgbs, deps, tss, width=cfg.camera.width,
+                height=cfg.camera.height, depth_factor=args.depth_factor)
+            for idx, ts_img, gray, depth in pf:
+                yield idx, ts_img, gray, depth
+        else:
+            for n, (ri, di) in enumerate(pairs):
+                ts_img, rgb_path = rgb_list[ri]
+                gray = load_image(os.path.join(args.dataset, rgb_path),
+                                  gray=True)
+                depth = None
+                if di >= 0:
+                    draw = load_image(
+                        os.path.join(args.dataset, depth_list[di][1]),
+                        gray=False)
+                    depth = draw.astype(np.float32) / args.depth_factor
+                yield n, ts_img, gray, depth
+
     t0 = time.time()
-    for n, (ri, di) in enumerate(pairs):
-        ts_img, rgb_path = rgb_list[ri]
-        gray = load_image(os.path.join(args.dataset, rgb_path), gray=True)
-        depth = None
-        if di >= 0:
-            draw = load_image(os.path.join(args.dataset, depth_list[di][1]),
-                              gray=False)
-            depth = (draw.astype(np.float32) / args.depth_factor)
+    for n, ts_img, gray, depth in frame_iter():
         boxes = None
         if args.boxes:
             boxes = tum.read_yolo_boxes(
