@@ -22,15 +22,11 @@ from eao_fusion_tpu.mapping.map_state import MapState
 
 
 def observation_indicator(m: MapState) -> jax.Array:
-    """Z [K, P] float32: 1 where keyframe k observes point p."""
-    K, N = m.kf_pt_idx.shape
-    P = m.max_pt
-    kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-    pt = m.kf_pt_idx.reshape(-1)
-    ok = (pt >= 0) & m.kf_valid[kf]
-    Z = jnp.zeros((K, P + 1), jnp.float32)
-    Z = Z.at[kf, jnp.where(ok, pt, P)].set(1.0)
-    return Z[:, :P]
+    """Z [K, P] float32: 1 where keyframe k observes point p. Reads the
+    cached indicator (map_state.refresh_obs_ind maintains it at keyframe
+    rate); kf_valid is re-applied so culled keyframes drop out even if the
+    cache is one refresh behind."""
+    return (m.obs_ind & m.kf_valid[:, None]).astype(jnp.float32)
 
 
 def covisibility_counts(Z: jax.Array) -> jax.Array:

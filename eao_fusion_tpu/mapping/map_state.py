@@ -63,6 +63,12 @@ class MapState(NamedTuple):
     pl_boundary: jax.Array    # [L, B, 3] world boundary points
     pl_boundary_valid: jax.Array  # [L, B] bool
     pl_obs_count: jax.Array   # [L] int32
+    # --- derived (cached at keyframe rate) -------------------------------
+    # observation indicator Z [K, P]: kf k observes point p. Derived from
+    # kf_pt_idx; every kf_pt_idx mutator must call refresh_obs_ind. Cached
+    # because the scatter is keyframe-rate work (~4 ms) that the per-frame
+    # tracking path would otherwise pay.
+    obs_ind: jax.Array        # [K, P] bool
     # --- counters --------------------------------------------------------
     next_kf: jax.Array        # [] int32 — next free keyframe slot
     next_pt: jax.Array        # [] int32 — next free point slot (ring-ish)
@@ -112,6 +118,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         pl_boundary=jnp.zeros((L, B, 3), f32),
         pl_boundary_valid=jnp.zeros((L, B), bool),
         pl_obs_count=jnp.zeros((L,), jnp.int32),
+        obs_ind=jnp.zeros((K, P), bool),
         next_kf=jnp.int32(0),
         next_pt=jnp.int32(0),
         next_pl=jnp.int32(0),
@@ -204,6 +211,19 @@ def create_points_from_depth(m: MapState, kf_slot: jax.Array,
     kp_pt_new = jnp.where(make, new_ids, kp_pt_idx)
     m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_slot].set(kp_pt_new))
     return m
+
+
+def refresh_obs_ind(m: MapState) -> MapState:
+    """Recompute the cached observation indicator from kf_pt_idx. Must be
+    called by every mutator of kf_pt_idx (keyframe-rate cost)."""
+    K, N = m.kf_pt_idx.shape
+    P = m.max_pt
+    kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    pt = m.kf_pt_idx.reshape(-1)
+    ok = (pt >= 0) & m.kf_valid[kf]
+    Z = jnp.zeros((K, P + 1), bool)
+    Z = Z.at[kf, jnp.where(ok, pt, P)].set(True)
+    return m._replace(obs_ind=Z[:, :P])
 
 
 def update_point_stats(m: MapState) -> MapState:

@@ -113,7 +113,8 @@ def create_points_mono(m: MapState, kf_slot: jax.Array, *,
 
     for k in range(3):
         m = with_neighbor(m, nbrs[k])
-    return m
+    from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+    return refresh_obs_ind(m)
 
 
 def cull_keyframes(m: MapState, cur_kf: jax.Array,
@@ -242,6 +243,8 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     m = m._replace(kf_pt_idx=m.kf_pt_idx.at[tgt_rows].set(
         new_rows, mode="drop"))
 
+    from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+    m = refresh_obs_ind(m)       # outlier removal edited kf_pt_idx
     m = cull_keyframes(m, kf_slot)
     m = refresh_point_descriptors(m)
     m = update_point_stats(m)

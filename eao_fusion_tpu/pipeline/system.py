@@ -39,6 +39,7 @@ def insert_keyframe_rgbd(m: ms.MapState, feats: FrameFeatures,
     max_depth = 1e9 if is_init else float(cfg.camera.depth_threshold)
     m = ms.create_points_from_depth(m, slot, feats, pose, kp_pt,
                                     max_depth, cam, frame_id)
+    m = ms.refresh_obs_ind(m)
     m = ms.update_point_stats(m)
     return m
 
@@ -310,6 +311,7 @@ class System:
             kf_pt_idx=m.kf_pt_idx
             .at[k1, jnp.asarray(kp1)].set(jnp.asarray(pids))
             .at[k2, jnp.asarray(kp2)].set(jnp.asarray(pids)))
+        m = ms.refresh_obs_ind(m)
         self.map = ms.update_point_stats(m)
         self.n_keyframes = 2
 

@@ -1,0 +1,93 @@
+"""Object subsystem tests: frame-object construction oracle, ensemble
+association behavior, end-to-end object mapping quality, ablation modes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SystemConfig, ORBConfig, MapCapacity
+from eao_fusion_tpu.io import synthetic
+from eao_fusion_tpu.objects import object_map as om
+from eao_fusion_tpu.pipeline.system import System
+
+
+def small_cfg(**kw):
+    return SystemConfig(
+        orb=ORBConfig(n_features=500, max_keypoints=512),
+        capacity=MapCapacity(max_keyframes=64, max_points=4096),
+        use_planes=False, **kw)
+
+
+class TestRectUtils:
+    def test_iou_oracle(self):
+        a = jnp.asarray([0.0, 0.0, 10.0, 10.0])
+        b = jnp.asarray([5.0, 5.0, 15.0, 15.0])
+        got = float(om.rect_iou(a, b))
+        assert abs(got - 25.0 / 175.0) < 1e-6
+        assert abs(float(om.rect_overlap_former(a, b)) - 0.25) < 1e-6
+
+    def test_iou_disjoint(self):
+        a = jnp.asarray([0.0, 0.0, 10.0, 10.0])
+        b = jnp.asarray([20.0, 20.0, 30.0, 30.0])
+        assert float(om.rect_iou(a, b)) == 0.0
+
+
+@pytest.mark.slow
+class TestObjectsE2E:
+    def run(self, mode="Full", n_frames=16):
+        import dataclasses
+        cfg = small_cfg()
+        cfg = cfg.replace(objects=dataclasses.replace(cfg.objects, mode=mode))
+        seq = synthetic.generate_sequence(n_frames=n_frames, seed=0,
+                                          style="arc",
+                                          cache_dir=synthetic.DEFAULT_CACHE)
+        s = System(cfg)
+        for f in seq.frames:
+            s.process_frame(f.gray, f.depth, f.timestamp, boxes=f.boxes)
+        return s, seq
+
+    def test_full_mode_builds_objects(self):
+        s, seq = self.run("Full")
+        ot = s.objects
+        valid = np.asarray(ot.valid)
+        n_obj = int(valid.sum())
+        # all 4 scene objects mapped, no runaway duplicates
+        assert 3 <= n_obj <= 6, n_obj
+        gt_centers = np.stack([(b.lo + b.hi) / 2 for b in seq.scene.boxes])
+        gt_classes = [b.class_id for b in seq.scene.boxes]
+        matched_classes = set()
+        for o in np.where(valid)[0]:
+            c = np.asarray(ot.center[o])
+            cls = int(ot.cls[o])
+            errs = np.linalg.norm(gt_centers - c, axis=1)
+            j = int(np.argmin(errs))
+            # center within 40 cm (surface-visibility bias expected) and
+            # persistent observation
+            assert errs[j] < 0.4, (o, errs[j])
+            assert int(ot.n_frames[o]) >= n_obj_frames_min(seq)
+            matched_classes.add(cls)
+        assert len(matched_classes & set(gt_classes)) >= 3
+
+    def test_na_mode_disables_association(self):
+        s, _ = self.run("NA", n_frames=8)
+        # with association disabled, frames keep spawning duplicate objects
+        # (creation counter racks up), while the keyframe-rate merge/overlap
+        # pass keeps consolidating them back down
+        assert int(s.objects.next_obj) >= 10
+        assert int(s.objects.valid.sum()) <= 8
+
+    def test_cuboids_contain_centers(self):
+        s, _ = self.run("Full", n_frames=10)
+        ot = s.objects
+        for o in np.where(np.asarray(ot.valid))[0]:
+            lo = np.asarray(ot.cub_min[o])
+            hi = np.asarray(ot.cub_max[o])
+            c = np.asarray(ot.center[o])
+            assert np.all(lo <= c + 1e-5) and np.all(c <= hi + 1e-5)
+            assert np.all(hi - lo < 1.5)     # sane extent
+
+
+def n_obj_frames_min(seq):
+    return max(3, len(seq.frames) // 4)
