@@ -51,8 +51,8 @@ def extract_features(img: jax.Array,
     pyramid = image_ops.build_pyramid(img, orb_cfg.n_levels, orb_cfg.scale_factor)
     budgets = features_per_level(orb_cfg)
 
-    uv_all, resp_all, lvl_all, ang_all = [], [], [], []
-    packed_all, pm1_all = [], []
+    # phase 1 — per-level detection (static shapes per level)
+    uv_all, resp_all, lvl_all, yx_all = [], [], [], []
     for l, (level_img, budget) in enumerate(zip(pyramid, budgets)):
         if budget == 0:
             continue
@@ -64,28 +64,34 @@ def extract_features(img: jax.Array,
             level_img, float(orb_cfg.ini_th_fast) / 255.0,
             float(orb_cfg.min_th_fast) / 255.0,
             cell=cell, top_per_cell=3, n_out=budget, border=orb_ops.BORDER)
-        raw_patches = orb_ops.extract_patches(level_img, yx)
-        angles = orb_ops.orientations(raw_patches)
-        blurred = image_ops.gaussian_blur(level_img, orb_cfg.blur_sigma, 3)
-        blur_patches = orb_ops.extract_patches(blurred, yx)
-        packed, pm1 = orb_ops.descriptors_from_patches(blur_patches, angles)
-
         uv0 = jnp.stack([yx[:, 1].astype(jnp.float32) * scale,
                          yx[:, 0].astype(jnp.float32) * scale], axis=-1)
         uv_all.append(uv0)
         resp_all.append(score)
         lvl_all.append(jnp.full((budget,), l, jnp.int32))
-        ang_all.append(angles)
-        packed_all.append(packed)
-        pm1_all.append(pm1)
+        yx_all.append(yx)
 
     uv = jnp.concatenate(uv_all)
     response = jnp.concatenate(resp_all)
     level = jnp.concatenate(lvl_all)
-    angle = jnp.concatenate(ang_all)
-    desc_packed = jnp.concatenate(packed_all)
-    desc_pm1 = jnp.concatenate(pm1_all)
+    yx_cat = jnp.concatenate(yx_all)
     valid = response > 0.0
+
+    # phase 2 — batched orientation + description for ALL keypoints at once
+    # (one gather from the flattened pyramid, patch-local blur, single
+    # descriptor pass) instead of 8 small per-level chains
+    shapes = [p.shape for p in pyramid]
+    offs = np.cumsum([0] + [h * w for h, w in shapes[:-1]])
+    flat_pyr = jnp.concatenate([p.reshape(-1) for p in pyramid])
+    lvl_off = jnp.asarray(offs, jnp.int32)
+    lvl_w = jnp.asarray([w for _, w in shapes], jnp.int32)
+    lvl_h = jnp.asarray([h for h, _ in shapes], jnp.int32)
+
+    patches = orb_ops.extract_patches_pyramid(
+        flat_pyr, lvl_off, lvl_w, lvl_h, yx_cat, level)
+    angle = orb_ops.orientations(patches)
+    blurred = orb_ops.blur_patches(patches, orb_cfg.blur_sigma, 3)
+    desc_packed, desc_pm1 = orb_ops.descriptors_from_patches(blurred, angle)
 
     n = uv.shape[0]
     if with_depth and depth is not None:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PATCH_HALF = 20          # patch half-size; rotated test points stay inside
+PATCH_HALF = 22          # rotated test points (±13·√2≈±19) + blur support ±3
 PATCH = 2 * PATCH_HALF + 1
 ORI_RADIUS = 15          # intensity-centroid circle radius (ORB HALF_PATCH_SIZE)
 N_BITS = 256
@@ -55,6 +55,47 @@ def extract_patches(img: jax.Array, yx: jax.Array) -> jax.Array:
         return jax.lax.dynamic_slice(
             img, (c[0] - PATCH_HALF, c[1] - PATCH_HALF), (PATCH, PATCH))
     return jax.vmap(one)(yx)
+
+
+def extract_patches_pyramid(flat_pyr: jax.Array, level_offset: jax.Array,
+                            level_width: jax.Array, level_height: jax.Array,
+                            yx: jax.Array, level: jax.Array) -> jax.Array:
+    """Patches for keypoints spread over pyramid levels, via ONE gather
+    from the flattened pyramid buffer (all levels concatenated row-major).
+
+    flat_pyr: [sum(H_l*W_l)]; level_* are per-level constants [L];
+    yx [N, 2] integer level coords; level [N]. Returns [N, PATCH, PATCH]."""
+    off = level_offset[level]                       # [N]
+    W = level_width[level]
+    H = level_height[level]
+    yc = jnp.clip(yx[:, 0], PATCH_HALF, H - PATCH_HALF - 1)
+    xc = jnp.clip(yx[:, 1], PATCH_HALF, W - PATCH_HALF - 1)
+    dy = jnp.arange(-PATCH_HALF, PATCH_HALF + 1)
+    dx = jnp.arange(-PATCH_HALF, PATCH_HALF + 1)
+    idx = (off[:, None, None]
+           + (yc[:, None, None] + dy[None, :, None]) * W[:, None, None]
+           + (xc[:, None, None] + dx[None, None, :]))
+    return flat_pyr[idx.reshape(-1)].reshape(-1, PATCH, PATCH)
+
+
+def blur_patches(patches: jax.Array, sigma: float = 2.0,
+                 radius: int = 3) -> jax.Array:
+    """Separable Gaussian blur applied to the patch batch directly (the
+    reference blurs whole pyramid levels before description,
+    `src/ORBextractor.cc:1084`; blurring only the patches is equivalent for
+    descriptor samples, which stay `radius` inside the patch border)."""
+    from eao_fusion_tpu.ops.image import gaussian_kernel1d
+    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    x = patches[:, None]                            # NCHW
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, :, None], (1, 1),
+        [(radius, radius), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1),
+        [(0, 0), (radius, radius)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[:, 0]
 
 
 @jax.jit

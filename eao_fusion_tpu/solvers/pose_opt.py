@@ -187,9 +187,20 @@ def optimize_pose(pose0: jax.Array, obs: PoseObs,
             # guard: only apply finite updates
             good = jnp.all(jnp.isfinite(delta))
             delta = jnp.where(good, delta, 0.0)
-            return lie.se3_retract(pose, delta)
+            return lie.se3_retract(pose, delta), jnp.linalg.norm(delta)
 
-        pose = jax.lax.fori_loop(0, cfg.pose_iters_per_round, gn_iter, pose)
+        # up to pose_iters_per_round GN steps with convergence early-exit
+        # (g2o's internal termination; saves serial latency on TPU)
+        def cond(st):
+            i, _, dn = st
+            return (i < cfg.pose_iters_per_round) & (dn > 1e-6)
+
+        def body(st):
+            i, p, _ = st
+            p, dn = gn_iter(i, p)
+            return i + 1, p, dn
+
+        _, pose, _ = jax.lax.while_loop(cond, body, (0, pose, jnp.inf))
         # reclassify inliers for the next round (reference redoes chi2 with
         # the same thresholds each round, re-including recovered edges)
         chi2, stereo, behind = chi2_fn(pose, inlier)
