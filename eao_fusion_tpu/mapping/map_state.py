@@ -63,6 +63,12 @@ class MapState(NamedTuple):
     pl_boundary: jax.Array    # [L, B, 3] world boundary points
     pl_boundary_valid: jax.Array  # [L, B] bool
     pl_obs_count: jax.Array   # [L] int32
+    # per-keyframe plane observations: camera-frame measured coeffs +
+    # associated plane landmark id (feeds plane factors into local/global
+    # BA — the reference stores these on the KeyFrame,
+    # `include/KeyFrame.h:260-265`)
+    kf_pl_coeff: jax.Array    # [K, F, 4]
+    kf_pl_idx: jax.Array      # [K, F] int32, -1 = none
     # --- derived (cached at keyframe rate) -------------------------------
     # observation indicator Z [K, P]: kf k observes point p. Derived from
     # kf_pt_idx; every kf_pt_idx mutator must call refresh_obs_ind. Cached
@@ -118,6 +124,9 @@ def empty_map(cfg: SystemConfig) -> MapState:
         pl_boundary=jnp.zeros((L, B, 3), f32),
         pl_boundary_valid=jnp.zeros((L, B), bool),
         pl_obs_count=jnp.zeros((L,), jnp.int32),
+        kf_pl_coeff=jnp.zeros((K, cfg.planes.max_planes_per_frame, 4), f32),
+        kf_pl_idx=jnp.full((K, cfg.planes.max_planes_per_frame), -1,
+                           jnp.int32),
         obs_ind=jnp.zeros((K, P), bool),
         next_kf=jnp.int32(0),
         next_pt=jnp.int32(0),

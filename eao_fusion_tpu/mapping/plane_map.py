@@ -136,4 +136,17 @@ def update_plane_map(m: MapState, fp: FramePlanes, assoc: jax.Array,
         pl_obs_count=m.pl_obs_count.at[slot].set(1, mode="drop"),
         next_pl=jnp.minimum(m.next_pl + jnp.sum(new.astype(jnp.int32)),
                             L))
-    return m
+    # effective landmark id of every frame plane (matched or newly created)
+    plane_ids = jnp.where(matched, assoc,
+                          jnp.where(new & (slot < L), slot, -1))
+    return m, plane_ids
+
+
+def record_kf_plane_obs(m: MapState, kf_slot, fp: FramePlanes,
+                        plane_ids: jax.Array) -> MapState:
+    """Store the keyframe's camera-frame plane measurements + landmark ids
+    (consumed by the BA plane factors)."""
+    return m._replace(
+        kf_pl_coeff=m.kf_pl_coeff.at[kf_slot].set(fp.coeffs),
+        kf_pl_idx=m.kf_pl_idx.at[kf_slot].set(
+            jnp.where(fp.valid, plane_ids, -1)))

@@ -222,7 +222,16 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
             -2.0 * m.kf_kp_level[kf_idx].astype(jnp.float32)),
         obs_valid=m.kf_kp_valid[kf_idx] & pt_ok,
     )
-    res = ba.bundle_adjust(prob, cam=cam5, cfg=cfg.solver,
+    plane_block = None
+    if cfg.use_planes:
+        # plane factors in local BA (the reference's #ifdef USE_LOCAL_PLANE
+        # block, `src/Optimizer.cc:709-1129`, here actually enabled)
+        pl_idx = m.kf_pl_idx[kf_idx]
+        pl_ok = (pl_idx >= 0) & m.pl_valid[jnp.clip(pl_idx, 0, None)] \
+            & sel_valid[:, None]
+        plane_block = (m.pl_coeff[jnp.clip(pl_idx, 0, None)],
+                       m.kf_pl_coeff[kf_idx], pl_ok)
+    res = ba.bundle_adjust(prob, plane_block, cam=cam5, cfg=cfg.solver,
                            n_iters1=cfg.solver.local_ba_iters_first,
                            n_iters2=cfg.solver.local_ba_iters_second,
                            pt_chunk=2048)

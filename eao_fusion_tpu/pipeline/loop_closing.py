@@ -269,7 +269,15 @@ class LoopCloser:
             obs_inv_sigma2=cfg.orb.scale_factor ** (
                 -2.0 * m.kf_kp_level.astype(jnp.float32)),
             obs_valid=m.kf_kp_valid & pt_ok)
-        res = ba.bundle_adjust(prob, cam=cam5, cfg=cfg.solver,
+        plane_block = None
+        if cfg.use_planes:
+            # GBA plane edges (`src/Optimizer.cc:210-250`)
+            pl_idx = m.kf_pl_idx
+            pl_ok = (pl_idx >= 0) & m.pl_valid[jnp.clip(pl_idx, 0, None)] \
+                & m.kf_valid[:, None]
+            plane_block = (m.pl_coeff[jnp.clip(pl_idx, 0, None)],
+                           m.kf_pl_coeff, pl_ok)
+        res = ba.bundle_adjust(prob, plane_block, cam=cam5, cfg=cfg.solver,
                                n_iters1=cfg.solver.global_ba_iters // 2,
                                n_iters2=cfg.solver.global_ba_iters // 2,
                                pt_chunk=2048)

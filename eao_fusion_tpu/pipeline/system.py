@@ -126,7 +126,8 @@ class System:
                     last_kf_frame_id=jnp.int32(self.frame_id))
                 self.n_keyframes += 1
                 if planes is not None:
-                    self._update_planes(planes, pose)
+                    self._update_planes(planes, pose,
+                                        kf_slot=int(self.map.next_kf) - 1)
             self._record(pose, timestamp)
             self.frame_id += 1
             return np.asarray(pose)
@@ -189,7 +190,8 @@ class System:
                 ref_kf=jnp.int32(slot))
             self.n_keyframes += 1
             if planes is not None:
-                self._update_planes(planes, self.track.pose)
+                self._update_planes(planes, self.track.pose,
+                                    kf_slot=int(self.map.next_kf) - 1)
             self._on_keyframe(slot)
 
         self._record(self.track.pose, timestamp)
@@ -333,14 +335,18 @@ class System:
         self._mono_ref = None
         return self.map.kf_pose[k2]
 
-    def _update_planes(self, planes, pose) -> None:
+    def _update_planes(self, planes, pose, kf_slot=None) -> None:
         """Keyframe-rate plane landmark update (association re-done with the
-        final pose, then merge/insert — `src/Tracking.cc:2489-2518`)."""
+        final pose, then merge/insert — `src/Tracking.cc:2489-2518`); the
+        keyframe's plane observations are recorded for BA plane factors."""
         from eao_fusion_tpu.mapping import plane_map
         assoc = plane_map.associate_planes(self.map, planes, pose,
                                            cfg=self.cfg)
-        self.map = plane_map.update_plane_map(self.map, planes, assoc, pose,
-                                              cfg=self.cfg)
+        self.map, plane_ids = plane_map.update_plane_map(
+            self.map, planes, assoc, pose, cfg=self.cfg)
+        if kf_slot is not None:
+            self.map = plane_map.record_kf_plane_obs(
+                self.map, jnp.int32(kf_slot), planes, plane_ids)
 
     def _record(self, pose, timestamp) -> None:
         self.trajectory.append(np.asarray(pose))

@@ -95,6 +95,49 @@ def _residuals(prob: BAProblem, cam_pose, pt_xyz, cam):
     return r, J_c, J_p, stereo, behind
 
 
+def _plane_terms(cam_pose, plane_w, meas_c, valid, cfg: SolverConfig):
+    """Per-camera plane-factor contributions (fixed plane landmarks, the
+    GBA plane edges of `src/Optimizer.cc:210-250`): returns
+    (Hcc_add [C,6,6], bc_add [C,6], chi2 [C,F]). Residual/Jacobian math as
+    in solvers/pose_opt._plane_residual_jac."""
+    R = lie.quat_to_rotmat(cam_pose[:, :4])              # [C,3,3]
+    n_w = plane_w[..., :3]                               # [C,F,3]
+    d_w = plane_w[..., 3]
+    n_c = jnp.einsum("cij,cfj->cfi", R, n_w)
+    d_c = d_w - jnp.einsum("cfi,ci->cf", n_c, cam_pose[:, 4:7])
+    n_m = meas_c[..., :3]
+    d_m = meas_c[..., 3]
+    # sign alignment of the measurement to the predicted normal
+    flip = jnp.einsum("cfi,cfi->cf", n_c, n_m) < 0
+    n_m = jnp.where(flip[..., None], -n_m, n_m)
+    d_m = jnp.where(flip, -d_m, d_m)
+
+    r_ang = jnp.cross(n_c, n_m)                          # [C,F,3]
+    r_dst = d_c - d_m                                    # [C,F]
+    chi2 = (cfg.plane_angle_info * jnp.sum(r_ang * r_ang, -1)
+            + cfg.plane_dist_info * r_dst * r_dst)
+    hub = jnp.minimum(1.0, jnp.sqrt(cfg.plane_chi2
+                                    / jnp.maximum(chi2, 1e-12)))
+    w = valid.astype(jnp.float32) * hub * (chi2 <= 4 * cfg.plane_chi2)
+
+    dnc_dw = -lie.so3_hat(n_c)                           # [C,F,3,3]
+    dra_dnc = -lie.so3_hat(n_m)
+    J_ang_w = jnp.einsum("cfij,cfjk->cfik", dra_dnc, dnc_dw)
+    J_ang = jnp.concatenate([J_ang_w, jnp.zeros_like(J_ang_w)], -1)  # [C,F,3,6]
+    J_dst = jnp.concatenate([jnp.zeros_like(n_c), -n_c], -1)        # [C,F,6]
+
+    Hcc = (cfg.plane_angle_info
+           * jnp.einsum("cfri,cf,cfrj->cij", J_ang, w, J_ang)
+           + cfg.plane_dist_info
+           * jnp.einsum("cfi,cf,cfj->cij", J_dst, w, J_dst))
+    bc = -(cfg.plane_angle_info
+           * jnp.einsum("cfri,cf,cfr->ci", J_ang, w, r_ang)
+           + cfg.plane_dist_info
+           * jnp.einsum("cfi,cf,cf->ci", J_dst, w, r_dst))
+    cost = jnp.sum(jnp.where(valid, jnp.minimum(chi2, cfg.plane_chi2), 0.0))
+    return Hcc, bc, cost
+
+
 def _weights(r, stereo, behind, prob, active, cfg: SolverConfig):
     chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
     delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
@@ -106,10 +149,16 @@ def _weights(r, stereo, behind, prob, active, cfg: SolverConfig):
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
                                              "n_iters2", "pt_chunk"))
-def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
+def bundle_adjust(prob: BAProblem, plane_block=None, *,
+                  cam: Tuple[float, ...],
                   cfg: SolverConfig, n_iters1: int = 5, n_iters2: int = 10,
                   pt_chunk: int = 4096, damping: float = 1e-3) -> BAResult:
-    """Two-phase BA (iters1, outlier gate, iters2)."""
+    """Two-phase BA (iters1, outlier gate, iters2).
+
+    `plane_block` optionally adds plane factors as
+    (plane_w [C,F,4], meas_c [C,F,4], valid [C,F]) with the planes held
+    fixed — the pose-constraining part of the reference's GBA plane edges
+    (and the local-BA block it left #ifdef'd out)."""
     C, N = prob.obs_pt.shape
     P = prob.pt_xyz.shape[0]
     n_chunks = -(-P // pt_chunk)
@@ -126,7 +175,11 @@ def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
         c2r = jnp.where(c2 <= delta2, c2,
                         2.0 * jnp.sqrt(delta2 * c2) - delta2)
         w = active.astype(jnp.float32) * (1.0 - behind.astype(jnp.float32))
-        return jnp.sum(c2r * w)
+        total = jnp.sum(c2r * w)
+        if plane_block is not None:
+            _, _, pcost = _plane_terms(cam_pose, *plane_block, cfg)
+            total = total + pcost
+        return total
 
     def gn_iter(state, active, damping):
         cam_pose, pt_xyz = state
@@ -138,6 +191,11 @@ def bundle_adjust(prob: BAProblem, *, cam: Tuple[float, ...],
 
         Hcc = jnp.einsum("cnri,cn,cnrj->cij", J_c, w_c, J_c)
         bc = -jnp.einsum("cnri,cn,cnr->ci", J_c, w_c, r)
+        if plane_block is not None:
+            Hp, bp_c, _ = _plane_terms(cam_pose, *plane_block, cfg)
+            fc = free_cam[:, None, None]
+            Hcc = Hcc + Hp * fc
+            bc = bc + bp_c * free_cam[:, None]
         # point system over all P (padded slot P for drop)
         pid = prob.obs_pt
         flat_pid = jnp.where(active, pid, P).reshape(-1)
