@@ -52,10 +52,11 @@ def extract_features(img: jax.Array,
     budgets = features_per_level(orb_cfg)
 
     # phase 1 — per-level detection (static shapes per level)
-    uv_all, resp_all, lvl_all, yx_all = [], [], [], []
+    uv_all, resp_all, lvl_all, yx_all, img_all = [], [], [], [], []
     for l, (level_img, budget) in enumerate(zip(pyramid, budgets)):
         if budget == 0:
             continue
+        img_all.append(level_img)
         scale = orb_cfg.scale_factor ** l
         cell = max(int(round(orb_cfg.cell_size / scale)), 8)
         # FAST thresholds are specified in 0-255 intensity units (reference
@@ -77,18 +78,15 @@ def extract_features(img: jax.Array,
     yx_cat = jnp.concatenate(yx_all)
     valid = response > 0.0
 
-    # phase 2 — batched orientation + description for ALL keypoints at once
-    # (one gather from the flattened pyramid, patch-local blur, single
-    # descriptor pass) instead of 8 small per-level chains
-    shapes = [p.shape for p in pyramid]
-    offs = np.cumsum([0] + [h * w for h, w in shapes[:-1]])
-    flat_pyr = jnp.concatenate([p.reshape(-1) for p in pyramid])
-    lvl_off = jnp.asarray(offs, jnp.int32)
-    lvl_w = jnp.asarray([w for _, w in shapes], jnp.int32)
-    lvl_h = jnp.asarray([h for h, _ in shapes], jnp.int32)
-
-    patches = orb_ops.extract_patches_pyramid(
-        flat_pyr, lvl_off, lvl_w, lvl_h, yx_cat, level)
+    # phase 2 — batched orientation + description for ALL keypoints at
+    # once. Patch extraction stays per level as vmapped dynamic_slice
+    # (lowers to a slice-gather, which the TPU DMA engines handle ~15x
+    # faster than an arbitrary element gather from a flattened pyramid);
+    # everything downstream runs on the concatenated [N, PATCH, PATCH]
+    # batch in single passes.
+    patches = jnp.concatenate([
+        orb_ops.extract_patches(img, yx)
+        for img, yx in zip(img_all, yx_all)])
     angle = orb_ops.orientations(patches)
     blurred = orb_ops.blur_patches(patches, orb_cfg.blur_sigma, 3)
     desc_packed, desc_pm1 = orb_ops.descriptors_from_patches(blurred, angle)

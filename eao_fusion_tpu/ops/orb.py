@@ -78,24 +78,35 @@ def extract_patches_pyramid(flat_pyr: jax.Array, level_offset: jax.Array,
     return flat_pyr[idx.reshape(-1)].reshape(-1, PATCH, PATCH)
 
 
+def _blur_band_matrix(sigma: float, radius: int) -> np.ndarray:
+    """[PATCH, PATCH] banded Gaussian matrix B with B@x = 1-D blur of x."""
+    from eao_fusion_tpu.ops.image import gaussian_kernel1d
+    k = gaussian_kernel1d(sigma, radius)
+    B = np.zeros((PATCH, PATCH), np.float32)
+    for i in range(PATCH):
+        for j, w in enumerate(k):
+            c = i + j - radius
+            if 0 <= c < PATCH:
+                B[i, c] += w
+    return B
+
+
+_BLUR_B = _blur_band_matrix(2.0, 3)
+
+
 def blur_patches(patches: jax.Array, sigma: float = 2.0,
                  radius: int = 3) -> jax.Array:
     """Separable Gaussian blur applied to the patch batch directly (the
     reference blurs whole pyramid levels before description,
     `src/ORBextractor.cc:1084`; blurring only the patches is equivalent for
-    descriptor samples, which stay `radius` inside the patch border)."""
-    from eao_fusion_tpu.ops.image import gaussian_kernel1d
-    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
-    x = patches[:, None]                            # NCHW
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, :, None], (1, 1),
-        [(radius, radius), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, None, :], (1, 1),
-        [(0, 0), (radius, radius)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[:, 0]
+    descriptor samples, which stay `radius` inside the patch border).
+
+    Implemented as two banded-matrix matmuls — rides the MXU instead of
+    tiny single-channel convolutions."""
+    B = jnp.asarray(_BLUR_B if (sigma, radius) == (2.0, 3)
+                    else _blur_band_matrix(sigma, radius))
+    y = jnp.einsum("ij,njk->nik", B, patches)
+    return jnp.einsum("nik,lk->nil", y, B)
 
 
 @jax.jit
@@ -118,19 +129,22 @@ def descriptors_from_patches(patches: jax.Array, angles: jax.Array
     ca, sa = jnp.cos(angles), jnp.sin(angles)      # [N]
     # rotate test points: (x', y') = (x ca - y sa, x sa + y ca)
     y1, x1, y2, x2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+    ys = jnp.concatenate([y1, y2])
+    xs = jnp.concatenate([x1, x2])
+    iy = jnp.clip(jnp.round(sa[:, None] * xs[None] + ca[:, None] * ys[None])
+                  + PATCH_HALF, 0, PATCH - 1).astype(jnp.int32)   # [N, 512]
+    ix = jnp.clip(jnp.round(ca[:, None] * xs[None] - sa[:, None] * ys[None])
+                  + PATCH_HALF, 0, PATCH - 1).astype(jnp.int32)
 
-    def rot(y, x):
-        ry = jnp.round(sa[:, None] * x[None] + ca[:, None] * y[None])
-        rx = jnp.round(ca[:, None] * x[None] - sa[:, None] * y[None])
-        iy = jnp.clip(ry + PATCH_HALF, 0, PATCH - 1).astype(jnp.int32)
-        ix = jnp.clip(rx + PATCH_HALF, 0, PATCH - 1).astype(jnp.int32)
-        return iy * PATCH + ix                     # [N, 256] flat patch index
-
-    flat = patches.reshape(patches.shape[0], -1)   # [N, PATCH*PATCH]
-    i1 = rot(y1, x1)
-    i2 = rot(y2, x2)
-    v1 = jnp.take_along_axis(flat, i1, axis=1)
-    v2 = jnp.take_along_axis(flat, i2, axis=1)
+    # per-point sampling WITHOUT an arbitrary gather (slow on TPU): select
+    # the row by a one-hot batched matmul on the MXU, then the column by a
+    # masked reduction.
+    grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PATCH), 2)
+    oh_y = (iy[:, :, None] == grid).astype(patches.dtype)      # [N, 512, P]
+    rows = jnp.einsum("nky,nyx->nkx", oh_y, patches)           # [N, 512, P]
+    oh_x = (ix[:, :, None] == grid).astype(patches.dtype)
+    vals = jnp.sum(rows * oh_x, axis=-1)                       # [N, 512]
+    v1, v2 = vals[:, :N_BITS], vals[:, N_BITS:]
     bits = (v1 < v2)                               # [N, 256] bool
 
     # pack to 8 x uint32 (little-endian within each word)

@@ -117,6 +117,86 @@ def create_points_mono(m: MapState, kf_slot: jax.Array, *,
     return refresh_obs_ind(m)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
+                   cfg: SystemConfig) -> MapState:
+    """Duplicate map-point fusion with covisible neighbors
+    (`LocalMapping::SearchInNeighbors` + `ORBmatcher::Fuse`,
+    `src/LocalMapping.cc:458-634`, `src/ORBmatcher.cc:825`):
+
+    project the new keyframe's points into each neighbor; a projection that
+    lands on a neighbor keypoint with a matching descriptor either merges
+    the two map points (the better-observed id wins, all references
+    redirected) or adds the missing observation."""
+    from eao_fusion_tpu.frontend import matcher as fm
+    from eao_fusion_tpu.types import FrameFeatures
+
+    cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    W, H = cfg.camera.width, cfg.camera.height
+    s = cfg.orb.scale_factor
+    Z = covisibility.observation_indicator(m)
+    covis = covisibility.covisibility_counts(Z)
+    obs_count = jnp.sum(Z, axis=0)
+    row = covis[kf_slot].at[kf_slot].set(0.0)
+    row = jnp.where(m.kf_valid, row, -1.0)
+    _, nbrs = jax.lax.top_k(row, 2)
+
+    def fuse_into(m, nb, obs_count):
+        ok_nb = (covis[kf_slot, nb] > 15) & m.kf_valid[nb] & (nb != kf_slot)
+        # the new KF's tracked points, as a projection-search source set
+        src_pt = m.kf_pt_idx[kf_slot]
+        src_ok = (src_pt >= 0) & ok_nb & \
+            m.pt_valid[jnp.clip(src_pt, 0, None)]
+        pts_w = m.pt_xyz[jnp.clip(src_pt, 0, None)]
+        nb_feats = FrameFeatures(
+            uv=m.kf_kp_uv[nb], response=jnp.ones_like(m.kf_kp_angle[nb]),
+            level=m.kf_kp_level[nb], angle=m.kf_kp_angle[nb],
+            desc_packed=jnp.zeros((m.kf_kp_uv.shape[1], 8), jnp.uint32),
+            desc_pm1=m.kf_desc_pm1[nb], valid=m.kf_kp_valid[nb],
+            depth=m.kf_kp_depth[nb], uright=m.kf_kp_uright[nb])
+        radius = 3.0 * s ** m.kf_kp_level[kf_slot].astype(jnp.float32)
+        res = fm.match_points_to_frame(
+            pts_w, m.kf_desc_pm1[kf_slot], src_ok,
+            m.kf_kp_angle[kf_slot], m.kf_kp_level[kf_slot],
+            radius, m.kf_kp_level[kf_slot] - 1,
+            m.kf_kp_level[kf_slot] + 1, nb_feats, m.kf_pose[nb],
+            cam=cam, width=W, height=H, th=cfg.matcher.th_low,
+            check_rotation=False)
+        # res.target_idx: per neighbor-kp slot -> index into the new KF's
+        # kp slots (the source rows)
+        nb_kp = jnp.arange(m.kf_pt_idx.shape[1])
+        src_slot = res.target_idx
+        has = src_slot >= 0
+        pt_new = src_pt[jnp.clip(src_slot, 0, None)]        # fused-in id
+        pt_old = m.kf_pt_idx[nb]                            # existing id
+        both = has & (pt_old >= 0) & (pt_new != pt_old) & \
+            m.pt_valid[jnp.clip(pt_old, 0, None)]
+        # keep the better-observed point
+        keep_new = obs_count[jnp.clip(pt_new, 0, None)] >= \
+            obs_count[jnp.clip(pt_old, 0, None)]
+        winner = jnp.where(keep_new, pt_new, pt_old)
+        loser = jnp.where(keep_new, pt_old, pt_new)
+        # redirect ALL references loser -> winner
+        remap = jnp.arange(m.max_pt + 1, dtype=jnp.int32)
+        remap = remap.at[jnp.where(both, loser, m.max_pt)].set(
+            jnp.where(both, winner, m.max_pt), mode="drop")[:m.max_pt]
+        kf_pt = jnp.where(m.kf_pt_idx >= 0,
+                          remap[jnp.clip(m.kf_pt_idx, 0, None)],
+                          m.kf_pt_idx)
+        pt_valid = m.pt_valid.at[jnp.where(both, loser, m.max_pt)].set(
+            False, mode="drop")
+        # add missing observations (projection matched an orphan keypoint)
+        add = has & (pt_old < 0)
+        kf_pt = kf_pt.at[nb].set(
+            jnp.where(add, pt_new, kf_pt[nb]))
+        return m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
+
+    for k in range(2):
+        m = fuse_into(m, nbrs[k], obs_count)
+    from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+    return refresh_obs_ind(m)
+
+
 def cull_keyframes(m: MapState, cur_kf: jax.Array,
                    redundancy: float = 0.9) -> MapState:
     """KeyFrame culling (`LocalMapping::KeyFrameCulling`,
@@ -201,6 +281,7 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     cam5 = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
             cfg.camera.bf)
     m = cull_points(m, kf_slot)
+    m = fuse_neighbors(m, kf_slot, cfg=cfg)
 
     n_fixed = 8
     n_local = cfg.capacity.max_local_ba_kfs - n_fixed

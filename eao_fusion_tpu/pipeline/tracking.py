@@ -125,6 +125,28 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
     # reference: if <20 matches, retry with doubled window
     kp_pt_mm = jax.lax.cond(n_mm < cfg.tracking.min_matches_track,
                             lambda: run_mm(2.0), lambda: kp_pt_mm)
+    n_mm2 = jnp.sum((kp_pt_mm >= 0).astype(jnp.int32))
+
+    # TrackReferenceKeyFrame fallback (`src/Tracking.cc:989-997, 1568`):
+    # if motion-model matching still fails, match descriptors against the
+    # reference keyframe and seed from the last pose
+    def run_ref_kf():
+        ref = jnp.clip(ts.ref_kf, 0, m.max_kf - 1)
+        ref_pt = m.kf_pt_idx[ref]
+        va = (m.kf_kp_valid[ref] & (ref_pt >= 0)
+              & m.pt_valid[jnp.clip(ref_pt, 0, None)])
+        mm = matcher.mutual_match(
+            m.kf_desc_pm1[ref], va, m.kf_kp_angle[ref],
+            feats.desc_pm1, feats.valid, feats.angle,
+            th=cfg.matcher.th_low, use_ratio=True, check_rotation=True)
+        kp_pt = jnp.full((n_kp,), -1, jnp.int32)
+        kp_pt = kp_pt.at[jnp.where(mm.target_idx >= 0, mm.target_idx,
+                                   n_kp)].set(ref_pt, mode="drop")
+        return kp_pt
+
+    use_ref = n_mm2 < cfg.tracking.min_matches_track
+    kp_pt_mm = jax.lax.cond(use_ref, run_ref_kf, lambda: kp_pt_mm)
+    pose_guess = jnp.where(use_ref, ts.last_pose, pose_guess)
 
     # ---- 3. first pose optimization -----------------------------------
     obs1 = _build_pose_obs(m, feats, kp_pt_mm, s)
