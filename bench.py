@@ -64,6 +64,8 @@ def main():
     depths = jnp.stack([jnp.asarray(seq.frames[i].depth) for i in idx])
     T = grays.shape[0]
 
+    from eao_fusion_tpu.ops import planes as plane_ops
+
     @jax.jit
     def run_chunk(m, ts, grays, depths):
         def step(carry, inp):
@@ -71,7 +73,12 @@ def main():
             gray, depth = inp
             feats = extractor.extract_features(
                 gray, depth, orb_cfg=cfg.orb, cam_cfg=cfg.camera)
-            m, ts, diag = tracking.track_frame(m, ts, feats, fid, cfg=cfg)
+            # per-frame plane extraction + association, as in the
+            # reference's frame path (`Frame::ComputePlanesFromPEAC`)
+            planes = plane_ops.segment_planes(depth, cam=cfg.camera,
+                                              cfg=cfg.planes)
+            m, ts, diag = tracking.track_frame(m, ts, feats, fid, planes,
+                                               cfg=cfg)
             return (m, ts, fid + 1), diag["n_inliers"]
 
         (m, ts, _), ninl = jax.lax.scan(step, (m, ts, jnp.int32(12)),

@@ -47,70 +47,60 @@ def anomaly_scores(pts: jax.Array, valid: jax.Array, key: jax.Array,
                                  replace=True, p=p)
     spts = pts[samp_idx]                                   # [T, S, 3]
 
-    n_nodes = 1 << depth
+    n_pad = 1 << (depth - 1)   # per-level node arrays padded to the max
 
-    def build_tree(tree_i, tpts, kd, ks):
-        """Level-synchronous build. Returns (dims [n_nodes], splits [n_nodes],
-        counts [n_nodes]) where node numbering is heap order within level
-        arrays concatenated (we store per-level offset implicitly)."""
-        S = tpts.shape[0]
-        node = jnp.zeros((S,), jnp.int32)     # node id within current level
-        dims_all = []
-        splits_all = []
-        counts_all = []
-        for lvl in range(depth):
-            n_lvl = 1 << lvl
-            # per-node min/max over assigned sample points
+    def build_tree(tpts, kd, ks):
+        """Level-synchronous build via lax.scan (compact compile graph).
+        Returns (dims, splits, counts) each [depth, n_pad] in per-level
+        heap order."""
+        kds = jax.random.split(kd, depth)
+        kss = jax.random.split(ks, depth)
+
+        def level(node, inp):
+            kdu, ksu = inp
             big = 1e9
-            mn = jnp.full((n_lvl, 3), big).at[node].min(tpts)
-            mx = jnp.full((n_lvl, 3), -big).at[node].max(tpts)
-            cnt = jnp.zeros((n_lvl,), jnp.int32).at[node].add(1)
-            kd, kdu = jax.random.split(kd)
-            ks, ksu = jax.random.split(ks)
-            dim = jax.random.randint(kdu, (n_lvl,), 0, 3)
-            u = jax.random.uniform(ksu, (n_lvl,))
+            mn = jnp.full((n_pad, 3), big).at[node].min(tpts)
+            mx = jnp.full((n_pad, 3), -big).at[node].max(tpts)
+            cnt = jnp.zeros((n_pad,), jnp.int32).at[node].add(1)
+            dim = jax.random.randint(kdu, (n_pad,), 0, 3)
+            u = jax.random.uniform(ksu, (n_pad,))
             lo = jnp.take_along_axis(mn, dim[:, None], 1)[:, 0]
             hi = jnp.take_along_axis(mx, dim[:, None], 1)[:, 0]
             split = lo + u * jnp.maximum(hi - lo, 1e-9)
-            dims_all.append(dim)
-            splits_all.append(split)
-            counts_all.append(cnt)
-            # descend
             v = jnp.take_along_axis(tpts, dim[node][:, None], 1)[:, 0]
-            go_right = v > split[node]
-            node = node * 2 + go_right.astype(jnp.int32)
-        return (jnp.concatenate(dims_all), jnp.concatenate(splits_all),
-                jnp.concatenate(counts_all))
+            node = jnp.minimum(node * 2 + (v > split[node]), n_pad - 1)
+            return node, (dim, split, cnt)
+
+        _, (dims, splits, counts) = jax.lax.scan(
+            level, jnp.zeros((tpts.shape[0],), jnp.int32), (kds, kss))
+        return dims, splits, counts
 
     kds = jax.random.split(k_dim, n_trees)
     kss = jax.random.split(k_split, n_trees)
-    dims, splits, counts = jax.vmap(build_tree)(
-        jnp.arange(n_trees), spts, kds, kss)   # [T, sum levels]
+    dims, splits, counts = jax.vmap(build_tree)(spts, kds, kss)
+    # [T, depth, n_pad] each
 
     # --- scoring: route every point through every tree -------------------
     def route(tree_dims, tree_splits, tree_counts):
-        node = jnp.zeros((M,), jnp.int32)
-        h = jnp.zeros((M,), jnp.float32)
-        alive = jnp.ones((M,), bool)          # still in a node with >1 sample
-        off = 0
-        last_cnt = jnp.full((M,), sample, jnp.int32)
-        for lvl in range(depth):
-            n_lvl = 1 << lvl
-            dim = tree_dims[off:off + n_lvl]
-            split = tree_splits[off:off + n_lvl]
-            cnt = tree_counts[off:off + n_lvl]
+        def level(carry, inp):
+            node, h, alive, last_cnt = carry
+            dim, split, cnt = inp
             c_here = cnt[node]
             isolated_now = alive & (c_here <= 1)
-            alive = alive & (c_here > 1)
-            h = h + alive.astype(jnp.float32)  # one more edge traversed
-            last_cnt = jnp.where(isolated_now, 1, jnp.where(alive, c_here,
-                                                            last_cnt))
+            alive2 = alive & (c_here > 1)
+            h = h + alive2.astype(jnp.float32)
+            last_cnt = jnp.where(isolated_now, 1,
+                                 jnp.where(alive2, c_here, last_cnt))
             v = jnp.take_along_axis(pts, dim[node][:, None], 1)[:, 0]
-            node = node * 2 + (v > split[node]).astype(jnp.int32)
-            off += n_lvl
+            node = jnp.minimum(node * 2 + (v > split[node]), n_pad - 1)
+            return (node, h, alive2, last_cnt), None
+
+        init = (jnp.zeros((M,), jnp.int32), jnp.zeros((M,), jnp.float32),
+                jnp.ones((M,), bool), jnp.full((M,), sample, jnp.int32))
+        (node, h, alive, last_cnt), _ = jax.lax.scan(
+            level, init, (tree_dims, tree_splits, tree_counts))
         # terminal correction for points still in populated nodes
-        h = h + jnp.where(last_cnt > 1, _avg_path(last_cnt), 0.0)
-        return h
+        return h + jnp.where(last_cnt > 1, _avg_path(last_cnt), 0.0)
 
     hs = jax.vmap(route)(dims, splits, counts)             # [T, M]
     h_mean = hs.mean(axis=0)
