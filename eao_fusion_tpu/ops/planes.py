@@ -73,6 +73,10 @@ def eigh3_smallest(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     v = jnp.take_along_axis(
         jnp.stack([v01, v02, v12], axis=-2),
         best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    # (near-)isotropic matrices: any unit vector is an eigenvector
+    degenerate = jnp.maximum(jnp.maximum(n01, n02), n12) < 1e-18
+    v = jnp.where(degenerate[..., None],
+                  jnp.array([0.0, 0.0, 1.0], dtype=v.dtype), v)
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
     return lam0, v
 

@@ -176,6 +176,9 @@ class LoopCloser:
                             m.pt_xyz)
         m = m._replace(kf_pose=new_poses, pt_xyz=new_pts)
 
+        # ---- fuse duplicated landmarks across the loop ------------------
+        m = self._fuse_loop_points(m, cur, cand)
+
         # ---- essential graph -------------------------------------------
         m = self._essential_graph(m, cur, cand, old_poses, window)
 
@@ -184,6 +187,52 @@ class LoopCloser:
         self.last_loop_kf = cur
         self.consistent_groups = []
         return m
+
+    def _fuse_loop_points(self, m: MapState, cur: int, cand: int
+                          ) -> MapState:
+        """SearchAndFuse (`src/LoopClosing.cc:604-654`): project the loop
+        side's map points into the corrected current keyframe; projections
+        that land on keypoints already holding a map point merge the two
+        ids (loop-side point wins; all references redirected)."""
+        cfg = self.cfg
+        cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+        W, H = cfg.camera.width, cfg.camera.height
+        s = cfg.orb.scale_factor
+        Z = covisibility.observation_indicator(m)
+        covis = covisibility.covisibility_counts(Z)
+        loop_kfs = covisibility.top_covisible(covis, cand, m.kf_valid, 20)
+        loop_kfs = loop_kfs.at[cand].set(True)
+        loop_pts = covisibility.points_of_keyframes(Z, loop_kfs) & m.pt_valid
+
+        from eao_fusion_tpu.types import FrameFeatures
+        cur_feats = FrameFeatures(
+            uv=m.kf_kp_uv[cur], response=jnp.ones_like(m.kf_kp_angle[cur]),
+            level=m.kf_kp_level[cur], angle=m.kf_kp_angle[cur],
+            desc_packed=jnp.zeros((m.kf_kp_uv.shape[1], 8), jnp.uint32),
+            desc_pm1=m.kf_desc_pm1[cur], valid=m.kf_kp_valid[cur],
+            depth=m.kf_kp_depth[cur], uright=m.kf_kp_uright[cur])
+        radius = jnp.full((m.max_pt,), 4.0 * s)
+        lvl = jnp.zeros((m.max_pt,), jnp.int32)
+        res = matcher.match_points_to_frame(
+            m.pt_xyz, m.pt_desc_pm1, loop_pts, jnp.zeros((m.max_pt,)),
+            lvl, radius, lvl, lvl + cfg.orb.n_levels,
+            cur_feats, m.kf_pose[cur], cam=cam, width=W, height=H,
+            th=cfg.matcher.th_low, check_rotation=False)
+        cur_pt = m.kf_pt_idx[cur]
+        loop_pt = res.target_idx
+        both = ((loop_pt >= 0) & (cur_pt >= 0) & (loop_pt != cur_pt)
+                & m.pt_valid[jnp.clip(cur_pt, 0, None)])
+        remap = jnp.arange(m.max_pt + 1, dtype=jnp.int32)
+        remap = remap.at[jnp.where(both, cur_pt, m.max_pt)].set(
+            jnp.where(both, loop_pt, m.max_pt), mode="drop")[:m.max_pt]
+        kf_pt = jnp.where(m.kf_pt_idx >= 0,
+                          remap[jnp.clip(m.kf_pt_idx, 0, None)],
+                          m.kf_pt_idx)
+        pt_valid = m.pt_valid.at[jnp.where(both, cur_pt, m.max_pt)].set(
+            False, mode="drop")
+        m = m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
+        from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+        return refresh_obs_ind(m)
 
     def _essential_graph(self, m: MapState, cur: int, cand: int,
                          old_poses: jax.Array, corrected: jax.Array

@@ -76,6 +76,20 @@ class System:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def reset(self) -> None:
+        """Clear the map and tracking state (`System::Reset` ->
+        `Tracking::Reset`, `src/Tracking.cc:2947-2990`); trajectory history
+        is kept."""
+        from eao_fusion_tpu.objects import object_map as om
+        self.map = ms.empty_map(self.cfg)
+        self.track = tracking.init_track_state(self.cfg)
+        self.objects = om.empty_table(self.cfg)
+        self.n_keyframes = 0
+        self._mono_ref = None
+        if self.loop_closer is not None:
+            self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
+            self.loop_closer.consistent_groups = []
+
     # ------------------------------------------------------------------
     def process_frame(self, gray: np.ndarray,
                       depth: Optional[np.ndarray] = None,
@@ -137,6 +151,17 @@ class System:
             cfg=cfg)
         self.diags.append({k: int(v) for k, v in diag.items()
                            if getattr(v, "ndim", 0) == 0})
+
+        # ---- auto-reset when lost early (`src/Tracking.cc:1174-1182`):
+        # with <= 5 keyframes a loss means initialization was bad ----
+        if (int(self.track.status) == tracking.STATUS_LOST
+                and self.n_keyframes
+                <= cfg.tracking.reset_if_lost_below_kfs):
+            self.reset()
+            self._record(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                         timestamp)
+            self.frame_id += 1
+            return np.asarray(self.track.pose)
 
         # ---- relocalization on tracking loss (`src/Tracking.cc:999`) ----
         if (int(self.track.status) == tracking.STATUS_LOST

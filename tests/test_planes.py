@@ -1,0 +1,87 @@
+"""Plane subsystem tests: closed-form eigensolver oracle, segmentation
+recall on ground-truthed synthetic depth, world-transform math, association."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import SystemConfig
+from eao_fusion_tpu.io import synthetic
+from eao_fusion_tpu.mapping import plane_map
+from eao_fusion_tpu.ops import planes as plane_ops, lie
+
+
+class TestEigh3:
+    def test_matches_numpy(self):
+        r = np.random.default_rng(0)
+        A = r.normal(size=(64, 3, 3)).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1)  # SPD-ish symmetric
+        lam, v = plane_ops.eigh3_smallest(jnp.asarray(A))
+        lam = np.asarray(lam)
+        v = np.asarray(v)
+        w_np, v_np = np.linalg.eigh(A)
+        np.testing.assert_allclose(lam, w_np[:, 0], rtol=1e-3, atol=1e-4)
+        # eigenvector up to sign
+        dots = np.abs(np.sum(v * v_np[:, :, 0], axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+    def test_degenerate_isotropic(self):
+        A = np.broadcast_to(np.eye(3, dtype=np.float32), (4, 3, 3))
+        lam, v = plane_ops.eigh3_smallest(jnp.asarray(A))
+        np.testing.assert_allclose(np.asarray(lam), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1),
+                                   1.0, atol=1e-5)
+
+
+class TestSegmentation:
+    def test_finds_room_planes(self):
+        cfg = SystemConfig()
+        seq = synthetic.generate_sequence(n_frames=2, seed=0, style="arc",
+                                          cache_dir=synthetic.DEFAULT_CACHE)
+        f = seq.frames[0]
+        fp = plane_ops.segment_planes(jnp.asarray(f.depth), cam=cfg.camera,
+                                      cfg=cfg.planes)
+        cw = np.asarray(plane_map.planes_to_world(fp.coeffs,
+                                                  jnp.asarray(f.tcw)))
+        valid = np.asarray(fp.valid)
+        assert valid.sum() >= 2
+        # the back wall (z=4.5) and floor (y=1.2) must be found accurately
+        gt = {"wall": np.array([0, 0, 1, -4.5], np.float32),
+              "floor": np.array([0, 1, 0, -1.2], np.float32)}
+        for name, g in gt.items():
+            gn = g / np.linalg.norm(g[:3])
+            errs = [min(np.linalg.norm(cw[i] - gn), np.linalg.norm(cw[i] + gn))
+                    for i in range(len(cw)) if valid[i]]
+            assert min(errs) < 0.02, (name, errs)
+
+    def test_boundary_points_on_plane(self):
+        cfg = SystemConfig()
+        seq = synthetic.generate_sequence(n_frames=2, seed=0, style="arc",
+                                          cache_dir=synthetic.DEFAULT_CACHE)
+        f = seq.frames[0]
+        fp = plane_ops.segment_planes(jnp.asarray(f.depth), cam=cfg.camera,
+                                      cfg=cfg.planes)
+        coeffs = np.asarray(fp.coeffs)
+        bd = np.asarray(fp.boundary)
+        bv = np.asarray(fp.boundary_valid)
+        for i in range(len(coeffs)):
+            if not bool(fp.valid[i]) or not bv[i].any():
+                continue
+            d = np.abs(bd[i][bv[i]] @ coeffs[i, :3] + coeffs[i, 3])
+            assert np.median(d) < 0.05
+
+
+class TestWorldTransform:
+    def test_roundtrip_through_pose(self):
+        r = np.random.default_rng(1)
+        tcw = np.asarray(lie.se3_exp(jnp.asarray(
+            r.normal(0, 0.3, 6).astype(np.float32))))
+        coeff_c = np.array([[0.0, 0.0, 1.0, -3.0]], np.float32)
+        cw = np.asarray(plane_map.planes_to_world(jnp.asarray(coeff_c),
+                                                  jnp.asarray(tcw)))
+        # a camera-frame point on the plane must satisfy the world equation
+        pc = np.array([0.5, -0.2, 3.0], np.float32)  # n·p + d = 3 - 3 = 0
+        pw = np.asarray(lie.se3_apply(lie.se3_inverse(jnp.asarray(tcw)),
+                                      jnp.asarray(pc)))
+        assert abs(pw @ cw[0, :3] + cw[0, 3]) < 1e-4
