@@ -68,7 +68,11 @@ def main(argv=None):
     cfg = cfg.replace(objects=dataclasses.replace(cfg.objects,
                                                   mode=args.mode))
 
-    rgb_list = tum.read_image_list(os.path.join(args.dataset, "rgb.txt"))
+    rgb_txt = os.path.join(args.dataset, "rgb.txt")
+    if not os.path.exists(rgb_txt):
+        sys.exit(f"error: {rgb_txt} not found — expected a TUM dataset "
+                 f"directory (rgb.txt [+ depth.txt])")
+    rgb_list = tum.read_image_list(rgb_txt)
     depth_list = [] if args.mono else tum.read_image_list(
         os.path.join(args.dataset, "depth.txt"))
     pairs = tum.associate_timestamps(
@@ -129,11 +133,14 @@ def main(argv=None):
             init_pose = np.asarray(lie.se3_inverse(gt_twc[j]))
         s.process_frame(gray, depth, ts_img, boxes=boxes,
                         initial_pose=init_pose)
+        if n == 1:
+            t0 = time.time()   # exclude first-frame compile time from fps
         if n % 50 == 0:
             d = s.diags[-1] if s.diags else {}
+            rate = (f"{n / (time.time() - t0):.1f} fps" if n > 1
+                    else "compiling…")
             print(f"frame {n}/{len(pairs)} kf={s.n_keyframes} "
-                  f"inl={d.get('n_inliers', '-')} "
-                  f"{(n + 1) / (time.time() - t0):.1f} fps", flush=True)
+                  f"inl={d.get('n_inliers', '-')} {rate}", flush=True)
 
     tum.write_trajectory_tum(args.out, s.timestamps, s.trajectory_tcw())
     print(f"wrote {args.out} ({len(s.trajectory)} poses, "

@@ -84,11 +84,15 @@ def _blocky_texture(r: np.random.Generator, size: int = 512) -> np.ndarray:
     return np.clip(tex, 0.0, 1.0)
 
 
-def make_room_scene(seed: int = 0, n_objects: int = 4) -> Scene:
+def make_room_scene(seed: int = 0, n_objects: int = 4,
+                    closed: bool = False) -> Scene:
     """A room in the first-camera frame (x right, y down, z forward):
-    floor at y=+1.2, back wall at z=+4.5, side walls, boxes on the floor."""
+    floor at y=+1.2, back wall at z=+4.5, side walls, boxes on the floor.
+    `closed` adds a wall behind the camera (needed for 360° spins)."""
     r = np.random.default_rng(seed)
-    textures = np.stack([_blocky_texture(r) for _ in range(4 + n_objects)])
+    # the closed-room wall texture is drawn LAST so the RNG stream feeding
+    # box geometry matches open-room scenes (keeps render caches valid)
+    textures = [_blocky_texture(r) for _ in range(4 + n_objects)]
 
     def v(*a):
         return np.array(a, np.float32)
@@ -114,7 +118,14 @@ def make_room_scene(seed: int = 0, n_objects: int = 4) -> Scene:
         lo = v(cx - w / 2, y_bottom - h, cz - d / 2)
         hi = v(cx + w / 2, y_bottom, cz + d / 2)
         boxes.append(BoxPrim(lo, hi, 4 + i, class_id=i % 8))
-    return Scene(rects, boxes, textures)
+    if closed:
+        wall_tex = len(textures)
+        textures.append(_blocky_texture(r))
+        rects.append(RectPrim(v(-3.0, -2.0, -1.5), v(6.0, 0, 0),
+                              v(0, 3.2, 0), wall_tex))
+        rects[0] = RectPrim(v(-3.0, 1.2, -1.5), v(6.0, 0, 0),
+                            v(0, 0, 6.0), 0)   # floor extended backward
+    return Scene(rects, boxes, np.stack(textures))
 
 
 # ---------------------------------------------------------------- ray casting
@@ -255,6 +266,16 @@ def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
             tz = 0.4 * (1 - np.cos(ang))
             yaw = 0.25 * np.sin(ang)
             pitch = 0.0
+        elif style == "spin":
+            # full 360° yaw in place: start/end views coincide but mid-
+            # sequence keyframes are NOT covisible with the start — a true
+            # loop-closure scenario
+            ang = 2 * np.pi * s
+            tx = 0.15 * np.sin(ang)
+            ty = 0.0
+            tz = 0.15 * (1 - np.cos(ang))
+            yaw = ang
+            pitch = 0.0
         else:
             raise ValueError(style)
         w = np.array([pitch, yaw, 0.0], np.float32)
@@ -274,10 +295,11 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     cache directory keyed on all generation parameters."""
     import os
     cam = camera or CameraConfig()
+    closed = style == "spin"
     key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
            f"_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
     path = os.path.join(cache_dir, key) if cache_dir else None
-    scene = make_room_scene(seed=seed, n_objects=n_objects)
+    scene = make_room_scene(seed=seed, n_objects=n_objects, closed=closed)
     if path and os.path.exists(path):
         z = np.load(path, allow_pickle=True)
         frames = [SyntheticFrame(gray=z["gray"][i], depth=z["depth"][i],

@@ -57,27 +57,6 @@ def extract_patches(img: jax.Array, yx: jax.Array) -> jax.Array:
     return jax.vmap(one)(yx)
 
 
-def extract_patches_pyramid(flat_pyr: jax.Array, level_offset: jax.Array,
-                            level_width: jax.Array, level_height: jax.Array,
-                            yx: jax.Array, level: jax.Array) -> jax.Array:
-    """Patches for keypoints spread over pyramid levels, via ONE gather
-    from the flattened pyramid buffer (all levels concatenated row-major).
-
-    flat_pyr: [sum(H_l*W_l)]; level_* are per-level constants [L];
-    yx [N, 2] integer level coords; level [N]. Returns [N, PATCH, PATCH]."""
-    off = level_offset[level]                       # [N]
-    W = level_width[level]
-    H = level_height[level]
-    yc = jnp.clip(yx[:, 0], PATCH_HALF, H - PATCH_HALF - 1)
-    xc = jnp.clip(yx[:, 1], PATCH_HALF, W - PATCH_HALF - 1)
-    dy = jnp.arange(-PATCH_HALF, PATCH_HALF + 1)
-    dx = jnp.arange(-PATCH_HALF, PATCH_HALF + 1)
-    idx = (off[:, None, None]
-           + (yc[:, None, None] + dy[None, :, None]) * W[:, None, None]
-           + (xc[:, None, None] + dx[None, None, :]))
-    return flat_pyr[idx.reshape(-1)].reshape(-1, PATCH, PATCH)
-
-
 def _blur_band_matrix(sigma: float, radius: int) -> np.ndarray:
     """[PATCH, PATCH] banded Gaussian matrix B with B@x = 1-D blur of x."""
     from eao_fusion_tpu.ops.image import gaussian_kernel1d
