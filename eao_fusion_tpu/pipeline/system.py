@@ -71,6 +71,17 @@ class System:
             self.loop_closer = LoopCloser(self.cfg, vocab)
         self.n_loops_closed = 0
         self.n_relocalizations = 0
+        # online detector lane (`SemanticOnline`: the reference's YOLOX
+        # thread, `src/System.cc:112-114`); offline box files are passed
+        # straight to process_frame instead
+        self.detector = None
+        if self.cfg.semantic_online:
+            from eao_fusion_tpu.frontend import yolox
+            import os
+            wpath = os.environ.get("EAO_YOLOX_WEIGHTS", "data/yolox_s.npz")
+            params = (yolox.load_params(wpath) if os.path.exists(wpath)
+                      else yolox.init_params(jax.random.PRNGKey(0)))
+            self.detector = yolox.Detector(params)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -104,6 +115,12 @@ class System:
         `src/Tracking.cc:1276-1308`)."""
         cfg = self.cfg
         mono = depth is None or cfg.sensor == "mono"
+        if self.detector is not None and boxes is None:
+            # dispatch detection BEFORE feature extraction so the two
+            # overlap (the reference's InsertImage-at-frame-start pattern,
+            # `src/Tracking.cc:318` — async dispatch replaces the thread)
+            rgb = np.asarray(gray)
+            self.detector.submit(np.stack([rgb, rgb, rgb], axis=-1))
         feats = extractor.extract_features(
             jnp.asarray(gray),
             None if mono else jnp.asarray(depth),
@@ -182,6 +199,8 @@ class System:
         # ---- object lane (EAO): build frame objects, ensemble-associate,
         # update the object table (`Tracking::TrackWithMotionModel`
         # object block, `src/Tracking.cc:1733-2177`) ----
+        if self.detector is not None and boxes is None:
+            boxes = self.detector.result()   # joins the async detection
         new_object = False
         if (cfg.use_objects and boxes is not None and len(boxes)
                 and int(self.track.status) == tracking.STATUS_OK):
