@@ -137,7 +137,7 @@ def build_frame_objects(boxes: jax.Array, feats, kp_pt: jax.Array,
     pw_all = pt_xyz[jnp.clip(kp_pt, 0, None)]               # [N, 3]
     pc_all = lie.se3_apply(tcw, pw_all)                     # [N, 3]
 
-    # ---- depth boxplot (far-side IQR cut) ------------------------------
+    # ---- depth boxplot (far-side IQR cut, reference semantics) ----------
     z = jnp.where(member, pc_all[None, :, 2], jnp.inf)      # [F, N]
     zs = jnp.sort(z, axis=1)
     cnt = jnp.sum(member, axis=1)
@@ -147,6 +147,26 @@ def build_frame_objects(boxes: jax.Array, feats, kp_pt: jax.Array,
     iqr = q3 - q1
     zmax = jnp.where(cnt >= 4, q3 + 1.5 * iqr, jnp.inf)
     member = member & (pc_all[None, :, 2] <= zmax[:, None])
+
+    # ---- central-anchor depth gate (improvement over the reference) -----
+    # the reference's far-tail cut leaves background surfaces inside the
+    # box (wall behind / floor below), the dominant object-center bias.
+    # Anchor on the median depth of the box's central region — where the
+    # detected object dominates — and keep only points near that shell.
+    cx0 = 0.75 * x0 + 0.25 * x1
+    cx1 = 0.25 * x0 + 0.75 * x1
+    cy0 = 0.75 * y0 + 0.25 * y1
+    cy1 = 0.25 * y0 + 0.75 * y1
+    central = (member & (u[None] >= cx0[:, None]) & (u[None] <= cx1[:, None])
+               & (v[None] >= cy0[:, None]) & (v[None] <= cy1[:, None]))
+    zc = jnp.where(central, pc_all[None, :, 2], jnp.inf)
+    zcs = jnp.sort(zc, axis=1)
+    ccnt = jnp.sum(central, axis=1)
+    anchor = jnp.take_along_axis(zcs, (ccnt // 2)[:, None], 1)[:, 0]
+    have_anchor = ccnt >= 3
+    tol = jnp.maximum(0.45, 0.15 * anchor)
+    near = jnp.abs(pc_all[None, :, 2] - anchor[:, None]) <= tol[:, None]
+    member = member & jnp.where(have_anchor[:, None], near, True)
 
     n_pts = jnp.sum(member, axis=1)
     valid = valid & (n_pts >= 2)
