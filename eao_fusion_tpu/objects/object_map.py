@@ -201,6 +201,52 @@ def build_frame_objects(boxes: jax.Array, feats, kp_pt: jax.Array,
                         on_edge=on_edge)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def merge_frame_objects(fo: FrameObjects, last: FrameObjects,
+                        pt_valid: jax.Array, *, cfg: SystemConfig
+                        ) -> FrameObjects:
+    """Frame-to-frame object enrichment (`Object_2D::MergeTwoFrameObj`,
+    `src/Object.cc:965-996` driven from `src/Tracking.cc:1996-2021`): a
+    current-frame object absorbs the member points of the same-class
+    last-frame object it overlaps (IoU > 0.5), deduplicated — boosting the
+    sample size feeding the ensemble association tests."""
+    F, S = fo.pt_ids.shape
+    iou = rect_iou(fo.box[:, None, :], last.box[None, :, :])
+    ok = (fo.valid[:, None] & last.valid[None, :]
+          & (fo.cls[:, None] == last.cls[None, :]) & (iou > 0.5))
+    best = jnp.argmax(jnp.where(ok, iou, -1.0), axis=1)
+    has = ok.any(axis=1)
+
+    l_ids = last.pt_ids[best]                                # [F, S]
+    l_ok = (last.pt_valid[best] & has[:, None]
+            & pt_valid[jnp.clip(l_ids, 0, None)] & (l_ids >= 0))
+    l_w = last.pt_w[best]
+    exists = ((l_ids[:, :, None] == fo.pt_ids[:, None, :])
+              & fo.pt_valid[:, None, :]).any(-1)
+    new = l_ok & (~exists)
+    # place into free slots of the current object's sample
+    _, free_idx = jax.lax.top_k((~fo.pt_valid).astype(jnp.int32), S)
+    n_free = (~fo.pt_valid).sum(axis=1)
+    rank = jnp.cumsum(new, axis=1) - 1
+    place = new & (rank < n_free[:, None])
+    slot = jnp.take_along_axis(free_idx, jnp.clip(rank, 0, S - 1), axis=1)
+    rows = jnp.where(place, jnp.arange(F)[:, None], F).reshape(-1)
+    cols = slot.reshape(-1)
+    pt_ids = fo.pt_ids.at[rows, cols].set(l_ids.reshape(-1), mode="drop")
+    pt_w = fo.pt_w.at[rows, cols].set(l_w.reshape(-1, 3), mode="drop")
+    pt_ok = fo.pt_valid.at[rows, cols].set(True, mode="drop")
+
+    # refresh count/center/std from the enriched sample
+    wm = pt_ok.astype(jnp.float32)[..., None]
+    n = jnp.maximum(pt_ok.sum(axis=1).astype(jnp.float32), 1.0)[:, None]
+    center = (pt_w * wm).sum(axis=1) / n
+    sq = (pt_w * pt_w * wm).sum(axis=1) / n
+    std = jnp.sqrt(jnp.maximum(sq - center * center, 0.0))
+    n_pts = fo.n_pts + jnp.sum(place, axis=1)
+    return fo._replace(pt_ids=pt_ids, pt_w=pt_w, pt_valid=pt_ok,
+                       n_pts=n_pts, center=center, std=std)
+
+
 # ----------------------------------------------------------------- helpers
 
 def rect_iou(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -97,6 +97,7 @@ class System:
         self.objects = om.empty_table(self.cfg)
         self.n_keyframes = 0
         self._mono_ref = None
+        self._last_fo = None
         if self.loop_closer is not None:
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.consistent_groups = []
@@ -210,6 +211,11 @@ class System:
                 jnp.asarray(np.asarray(boxes, np.float32)), feats,
                 self.track.kp_pt, self.map.pt_xyz, self.map.pt_valid,
                 self.track.pose, cfg=cfg)
+            last_fo = getattr(self, "_last_fo", None)
+            if last_fo is not None:
+                fo = om.merge_frame_objects(fo, last_fo, self.map.pt_valid,
+                                            cfg=cfg)
+            self._last_fo = fo
             assoc = association.ensemble_associate(
                 self.objects, fo, self.map.pt_xyz, self.track.pose,
                 jnp.int32(self.frame_id), cfg=cfg)
