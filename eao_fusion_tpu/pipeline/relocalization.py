@@ -46,28 +46,48 @@ def relocalize(m: MapState, feats, bow_db: jax.Array,
         tgt = np.asarray(mm.target_idx)
         pt_kf = np.asarray(m.kf_pt_idx[cand])
         depth = np.asarray(feats.depth)
-        pairs = [(pt_kf[i], t) for i, t in enumerate(tgt)
-                 if t >= 0 and pt_kf[i] >= 0 and depth[t] > 0]
-        if len(pairs) < 15:
+        pairs3d = [(pt_kf[i], t) for i, t in enumerate(tgt)
+                   if t >= 0 and pt_kf[i] >= 0 and depth[t] > 0]
+        pairs2d = [(pt_kf[i], t) for i, t in enumerate(tgt)
+                   if t >= 0 and pt_kf[i] >= 0]
+        if len(pairs3d) >= 15:
+            # RGBD path: 3D-3D Horn RANSAC
+            pids = jnp.asarray(np.array([p[0] for p in pairs3d]))
+            kps = np.array([p[1] for p in pairs3d])
+            pw = m.pt_xyz[pids]
+            uv = feats.uv[jnp.asarray(kps)]
+            d = feats.depth[jnp.asarray(kps)]
+            pc = lie.backproject(cam, uv, d)
+            res = ransac.ransac_align(pw, pc,
+                                      jnp.ones((len(pairs3d),), bool),
+                                      key, with_scale=False, inlier_th=0.10)
+            if int(res.n_inliers) < 10:
+                continue
+            pose0 = lie.sim3_to_se3(res.transform)
+            kps_used, pids_used, inl = kps, pids, res.inliers
+        elif len(pairs2d) >= 15:
+            # monocular path: 2D-3D PnP RANSAC (the reference's
+            # EPnP+RANSAC role, `src/Tracking.cc:2830-2856`)
+            pids = jnp.asarray(np.array([p[0] for p in pairs2d]))
+            kps = np.array([p[1] for p in pairs2d])
+            pw = m.pt_xyz[pids]
+            uv = feats.uv[jnp.asarray(kps)]
+            res = ransac.ransac_pnp(pw, uv,
+                                    jnp.ones((len(pairs2d),), bool),
+                                    key, cam=cam)
+            if int(res.n_inliers) < 10:
+                continue
+            pose0 = res.pose
+            kps_used, pids_used, inl = kps, pids, res.inliers
+        else:
             continue
-        pids = jnp.asarray(np.array([p[0] for p in pairs]))
-        kps = np.array([p[1] for p in pairs])
-        pw = m.pt_xyz[pids]
-        uv = feats.uv[jnp.asarray(kps)]
-        d = feats.depth[jnp.asarray(kps)]
-        pc = lie.backproject(cam, uv, d)
-        res = ransac.ransac_align(pw, pc, jnp.ones((len(pairs),), bool),
-                                  key, with_scale=False, inlier_th=0.10)
-        if int(res.n_inliers) < 10:
-            continue
-        pose0 = lie.sim3_to_se3(res.transform)
 
         # full association by projection + pose GN (the reference's
         # SearchByProjection addition + PoseOptimization rounds)
         n_kp = feats.uv.shape[0]
         kp_pt = jnp.full((n_kp,), -1, jnp.int32)
-        kp_pt = kp_pt.at[jnp.asarray(kps)].set(
-            jnp.where(res.inliers, pids.astype(jnp.int32), -1))
+        kp_pt = kp_pt.at[jnp.asarray(kps_used)].set(
+            jnp.where(inl, pids_used.astype(jnp.int32), -1))
         radius = jnp.full((m.max_pt,), cfg.matcher.radius_reloc)
         lvl = jnp.zeros((m.max_pt,), jnp.int32)
         proj = matcher.match_points_to_frame(
