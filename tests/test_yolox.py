@@ -1,0 +1,96 @@
+"""YOLOX lane tests: decode/NMS oracle, letterbox geometry, async protocol."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.frontend import yolox
+
+
+def logit(p):
+    return float(np.log(p / (1 - p)))
+
+
+def make_raw(boxes, n_classes=80):
+    """Hand-craft a raw head output that decodes to the given boxes.
+    boxes: list of (cls, cx, cy, w, h, score) in 640-space."""
+    A = yolox._GRID.shape[0]
+    raw = np.full((A, 5 + n_classes), -20.0, np.float32)
+    raw[:, 0:4] = 0.0
+    for cls, cx, cy, w, h, score in boxes:
+        # choose the stride-8 cell containing the center
+        gx, gy = int(cx // 8), int(cy // 8)
+        a = gy * 80 + gx
+        raw[a, 0] = cx / 8 - gx
+        raw[a, 1] = cy / 8 - gy
+        raw[a, 2] = np.log(w / 8)
+        raw[a, 3] = np.log(h / 8)
+        raw[a, 4] = logit(np.sqrt(score))
+        raw[a, 5 + cls] = logit(np.sqrt(score))
+    return jnp.asarray(raw)
+
+
+class TestDecode:
+    def test_single_box_roundtrip(self):
+        raw = make_raw([(3, 320.0, 240.0, 64.0, 48.0, 0.9)])
+        det = np.asarray(yolox.decode_and_nms(raw, jnp.float32(1.0)))
+        det = det[det[:, 5] > 0]
+        assert len(det) == 1
+        cls, x, y, w, h, s = det[0]
+        assert cls == 3
+        np.testing.assert_allclose([x + w / 2, y + h / 2], [320, 240],
+                                   atol=1.0)
+        np.testing.assert_allclose([w, h], [64, 48], rtol=0.05)
+        assert abs(s - 0.9) < 0.02
+
+    def test_nms_suppresses_duplicates(self):
+        raw = make_raw([(5, 300.0, 200.0, 80.0, 80.0, 0.9),
+                        (5, 308.0, 200.0, 80.0, 80.0, 0.7),   # IoU >> 0.65
+                        (5, 500.0, 400.0, 60.0, 60.0, 0.8)])
+        det = np.asarray(yolox.decode_and_nms(raw, jnp.float32(1.0)))
+        det = det[det[:, 5] > 0]
+        assert len(det) == 2
+        # different classes are not suppressed against each other
+        raw2 = make_raw([(5, 300.0, 200.0, 80.0, 80.0, 0.9),
+                         (6, 308.0, 200.0, 80.0, 80.0, 0.7)])
+        det2 = np.asarray(yolox.decode_and_nms(raw2, jnp.float32(1.0)))
+        assert len(det2[det2[:, 5] > 0]) == 2
+
+    def test_scale_rescales_to_original_image(self):
+        raw = make_raw([(0, 320.0, 240.0, 64.0, 48.0, 0.9)])
+        det = np.asarray(yolox.decode_and_nms(raw, jnp.float32(0.5)))
+        det = det[det[:, 5] > 0]
+        np.testing.assert_allclose(det[0, 1:5],
+                                   [(320 - 32) / 0.5, (240 - 24) / 0.5,
+                                    64 / 0.5, 48 / 0.5], rtol=0.05)
+
+    def test_conf_threshold(self):
+        raw = make_raw([(0, 320.0, 240.0, 64.0, 48.0, 0.1)])  # below 0.3
+        det = np.asarray(yolox.decode_and_nms(raw, jnp.float32(1.0)))
+        assert len(det[det[:, 5] > 0]) == 0
+
+
+class TestLetterbox:
+    def test_aspect_preserved(self):
+        img = jnp.ones((480, 640, 3), jnp.float32)
+        x, scale = yolox.letterbox(img)
+        assert x.shape == (1, 640, 640, 3)
+        assert abs(float(scale) - 1.0) < 1e-6
+        # bottom padding (480*1.0 rows of content, rest gray)
+        assert abs(float(x[0, 479, 0, 0]) - 1.0) < 1e-5
+        np.testing.assert_allclose(float(x[0, 500, 0, 0]), 114 / 255, atol=1e-5)
+
+
+class TestDetectorProtocol:
+    def test_async_submit_result(self):
+        params = yolox.init_params(jax.random.PRNGKey(0))
+        det = yolox.Detector(params)
+        assert det.result() is None
+        img = np.random.default_rng(0).uniform(0, 1, (480, 640, 3)) \
+            .astype(np.float32)
+        det.submit(img)
+        r = det.result()
+        assert r is not None and r.shape[1] == 6
+        assert det.result() is None   # consumed (latest-wins)
