@@ -23,6 +23,11 @@ import time
 
 import numpy as np
 
+# persistent compilation cache (before jax import) — recompiling the full
+# pipeline over the remote-compile tunnel otherwise dominates warmup
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)

@@ -181,6 +181,11 @@ class ObjectConfig:
     iforest_sample: int = 64
     iforest_threshold: float = 0.6
     iforest_threshold_merged: float = 0.65
+    # The reference culls per associated object per FRAME
+    # (`DataAssociateUpdate` step 6); running the forest at keyframe rate
+    # instead is observationally equivalent (members only accumulate) and
+    # keeps it off the per-frame hot path.
+    iforest_keyframe_rate: bool = True
     # Association ablation flag, mirroring the reference's mode string
     # ("Full"/"NA"/"IoU"/"NP"/"EAO"/"iForest"/"None", DOC/EAO-SLAM-README.md).
     mode: str = "Full"

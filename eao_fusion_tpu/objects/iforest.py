@@ -49,60 +49,71 @@ def anomaly_scores(pts: jax.Array, valid: jax.Array, key: jax.Array,
 
     n_pad = 1 << (depth - 1)   # per-level node arrays padded to the max
 
+    def onehot(node, n):
+        grid = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        return (node[:, None] == grid).astype(jnp.float32)
+
     def build_tree(tpts, kd, ks):
-        """Level-synchronous build via lax.scan (compact compile graph).
-        Returns (dims, splits, counts) each [depth, n_pad] in per-level
-        heap order."""
+        """Level-synchronous build via lax.scan. All per-node lookups are
+        one-hot matmuls — arbitrary gathers are pathologically slow on the
+        TPU. Returns (dims [depth, n_pad, 3] one-hot, splits, counts)."""
         kds = jax.random.split(kd, depth)
         kss = jax.random.split(ks, depth)
 
         def level(node, inp):
             kdu, ksu = inp
+            oh = onehot(node, n_pad)                       # [S, n_pad]
             big = 1e9
             mn = jnp.full((n_pad, 3), big).at[node].min(tpts)
             mx = jnp.full((n_pad, 3), -big).at[node].max(tpts)
-            cnt = jnp.zeros((n_pad,), jnp.int32).at[node].add(1)
-            dim = jax.random.randint(kdu, (n_pad,), 0, 3)
+            cnt = oh.sum(axis=0)                           # [n_pad]
+            dim_oh = jax.nn.one_hot(
+                jax.random.randint(kdu, (n_pad,), 0, 3), 3)  # [n_pad, 3]
             u = jax.random.uniform(ksu, (n_pad,))
-            lo = jnp.take_along_axis(mn, dim[:, None], 1)[:, 0]
-            hi = jnp.take_along_axis(mx, dim[:, None], 1)[:, 0]
+            lo = jnp.sum(mn * dim_oh, axis=-1)
+            hi = jnp.sum(mx * dim_oh, axis=-1)
             split = lo + u * jnp.maximum(hi - lo, 1e-9)
-            v = jnp.take_along_axis(tpts, dim[node][:, None], 1)[:, 0]
-            node = jnp.minimum(node * 2 + (v > split[node]), n_pad - 1)
-            return node, (dim, split, cnt)
+            # per-sample chosen coordinate + split via one-hot contractions
+            v = jnp.einsum("sp,pd,sd->s", oh, dim_oh, tpts)
+            sp_here = oh @ split
+            node = jnp.minimum(node * 2 + (v > sp_here), n_pad - 1)
+            return node, (dim_oh, split, cnt)
 
-        _, (dims, splits, counts) = jax.lax.scan(
-            level, jnp.zeros((tpts.shape[0],), jnp.int32), (kds, kss))
-        return dims, splits, counts
+        _, out = jax.lax.scan(level, jnp.zeros((tpts.shape[0],), jnp.int32),
+                              (kds, kss))
+        return out
 
     kds = jax.random.split(k_dim, n_trees)
     kss = jax.random.split(k_split, n_trees)
-    dims, splits, counts = jax.vmap(build_tree)(spts, kds, kss)
-    # [T, depth, n_pad] each
+    dims_oh, splits, counts = jax.vmap(build_tree)(spts, kds, kss)
+    # dims_oh [T, depth, n_pad, 3]; splits/counts [T, depth, n_pad]
 
     # --- scoring: route every point through every tree -------------------
-    def route(tree_dims, tree_splits, tree_counts):
+    def route(tree_dims_oh, tree_splits, tree_counts):
         def level(carry, inp):
             node, h, alive, last_cnt = carry
-            dim, split, cnt = inp
-            c_here = cnt[node]
-            isolated_now = alive & (c_here <= 1)
-            alive2 = alive & (c_here > 1)
+            dim_oh, split, cnt = inp
+            oh = onehot(node, n_pad)                       # [M, n_pad]
+            c_here = oh @ cnt
+            isolated_now = alive & (c_here <= 1.0)
+            alive2 = alive & (c_here > 1.0)
             h = h + alive2.astype(jnp.float32)
-            last_cnt = jnp.where(isolated_now, 1,
+            last_cnt = jnp.where(isolated_now, 1.0,
                                  jnp.where(alive2, c_here, last_cnt))
-            v = jnp.take_along_axis(pts, dim[node][:, None], 1)[:, 0]
-            node = jnp.minimum(node * 2 + (v > split[node]), n_pad - 1)
+            v = jnp.einsum("mp,pd,md->m", oh, dim_oh, pts)
+            sp_here = oh @ split
+            node = jnp.minimum(node * 2 + (v > sp_here), n_pad - 1)
             return (node, h, alive2, last_cnt), None
 
         init = (jnp.zeros((M,), jnp.int32), jnp.zeros((M,), jnp.float32),
-                jnp.ones((M,), bool), jnp.full((M,), sample, jnp.int32))
+                jnp.ones((M,), bool),
+                jnp.full((M,), float(sample), jnp.float32))
         (node, h, alive, last_cnt), _ = jax.lax.scan(
-            level, init, (tree_dims, tree_splits, tree_counts))
+            level, init, (tree_dims_oh, tree_splits, tree_counts))
         # terminal correction for points still in populated nodes
-        return h + jnp.where(last_cnt > 1, _avg_path(last_cnt), 0.0)
+        return h + jnp.where(last_cnt > 1.0, _avg_path(last_cnt), 0.0)
 
-    hs = jax.vmap(route)(dims, splits, counts)             # [T, M]
+    hs = jax.vmap(route)(dims_oh, splits, counts)          # [T, M]
     h_mean = hs.mean(axis=0)
     score = jnp.exp2(-h_mean / _avg_path(jnp.asarray(float(sample))))
     return jnp.where(valid, score, 0.0)

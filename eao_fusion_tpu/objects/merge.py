@@ -151,4 +151,9 @@ def merge_and_overlap(tab: ObjectTable, pt_xyz: jax.Array, key: jax.Array,
         return tab
 
     tab = jax.lax.fori_loop(0, n_rounds, round_body, tab)
-    return member_stats(tab, pt_xyz)
+    tab = member_stats(tab, pt_xyz)
+    if (cfg.objects.iforest_keyframe_rate
+            and cfg.objects.mode not in ("None", "NA")):
+        from eao_fusion_tpu.objects.update import iforest_cull
+        tab = iforest_cull(tab, pt_xyz, key, cfg=cfg)
+    return tab

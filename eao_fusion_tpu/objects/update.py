@@ -25,6 +25,31 @@ IFOREST_SPECIAL_CLASS = 62            # threshold 0.65 instead of 0.6
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def iforest_cull(tab: ObjectTable, pt_xyz: jax.Array, key: jax.Array,
+                 touched=None, *, cfg: SystemConfig) -> ObjectTable:
+    """Isolation-forest member culling over (a subset of) the object table
+    (`Object_Map::IsolationForestDeleteOutliers`)."""
+    oc = cfg.objects
+    O = tab.cls.shape[0]
+    thresh = jnp.where(tab.cls == IFOREST_SPECIAL_CLASS,
+                       oc.iforest_threshold_merged, oc.iforest_threshold)
+    skip = jnp.zeros((O,), bool)
+    for c in IFOREST_SKIP_CLASSES:
+        skip = skip | (tab.cls == c)
+    gate = tab.valid & (~skip)
+    if touched is not None:
+        gate = gate & touched
+    pw = pt_xyz[jnp.clip(tab.pt_idx, 0, None)]
+    keys = jax.random.split(key, O)
+    cull = jax.vmap(
+        lambda p, v, k, t: cull_mask(p, v, k, t, n_trees=oc.iforest_trees))(
+        pw, tab.pt_ok, keys, thresh)
+    cull = cull & gate[:, None]
+    tab = tab._replace(pt_ok=tab.pt_ok & (~cull))
+    return member_stats(tab, pt_xyz)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def object_update(tab: ObjectTable, fo: FrameObjects, assoc: AssocResult,
                   pt_xyz: jax.Array, tcw: jax.Array, frame_id: jax.Array,
                   key: jax.Array, *, cfg: SystemConfig) -> ObjectTable:
@@ -153,21 +178,8 @@ def object_update(tab: ObjectTable, fo: FrameObjects, assoc: AssocResult,
 
     # ---- 5. stats + isolation forest -------------------------------------
     tab = member_stats(tab, pt_xyz)
-    thresh = jnp.where(tab.cls == IFOREST_SPECIAL_CLASS,
-                       oc.iforest_threshold_merged, oc.iforest_threshold)
-    skip = jnp.zeros((O,), bool)
-    for c in IFOREST_SKIP_CLASSES:
-        skip = skip | (tab.cls == c)
-    if oc.mode not in ("None", "NA"):
-        pw2 = pt_xyz[jnp.clip(tab.pt_idx, 0, None)]
-        keys = jax.random.split(key, O)
-        cull = jax.vmap(
-            lambda p, v, k, t: cull_mask(p, v, k, t,
-                                         n_trees=oc.iforest_trees))(
-            pw2, tab.pt_ok, keys, thresh)
-        cull = cull & (touched & (~skip))[:, None]
-        tab = tab._replace(pt_ok=tab.pt_ok & (~cull))
-        tab = member_stats(tab, pt_xyz)
+    if oc.mode not in ("None", "NA") and not oc.iforest_keyframe_rate:
+        tab = iforest_cull(tab, pt_xyz, key, touched, cfg=cfg)
 
     # ---- 6. co-occurrence + potential-association counters ---------------
     present_rows = jnp.concatenate([
