@@ -182,10 +182,10 @@ class ObjectConfig:
     iforest_threshold: float = 0.6
     iforest_threshold_merged: float = 0.65
     # The reference culls per associated object per FRAME
-    # (`DataAssociateUpdate` step 6); running the forest at keyframe rate
-    # instead is observationally equivalent (members only accumulate) and
-    # keeps it off the per-frame hot path.
-    iforest_keyframe_rate: bool = True
+    # (`DataAssociateUpdate` step 6) — the default. The keyframe-rate
+    # option remains for ablation (observationally equivalent since
+    # members only accumulate between keyframes).
+    iforest_keyframe_rate: bool = False
     # Association ablation flag, mirroring the reference's mode string
     # ("Full"/"NA"/"IoU"/"NP"/"EAO"/"iForest"/"None", DOC/EAO-SLAM-README.md).
     mode: str = "Full"

@@ -64,8 +64,9 @@ def anomaly_scores(pts: jax.Array, valid: jax.Array, key: jax.Array,
             kdu, ksu = inp
             oh = onehot(node, n_pad)                       # [S, n_pad]
             big = 1e9
-            mn = jnp.full((n_pad, 3), big).at[node].min(tpts)
-            mx = jnp.full((n_pad, 3), -big).at[node].max(tpts)
+            sel = oh[:, :, None] > 0                       # [S, n_pad, 1]
+            mn = jnp.min(jnp.where(sel, tpts[:, None, :], big), axis=0)
+            mx = jnp.max(jnp.where(sel, tpts[:, None, :], -big), axis=0)
             cnt = oh.sum(axis=0)                           # [n_pad]
             dim_oh = jax.nn.one_hot(
                 jax.random.randint(kdu, (n_pad,), 0, 3), 3)  # [n_pad, 3]
