@@ -54,7 +54,7 @@ def main():
 
     sys_ = System(cfg)
     for f in seq.frames[:12]:
-        sys_.process_frame(f.gray, f.depth, f.timestamp)
+        sys_.process_frame(f.gray, f.depth, f.timestamp, boxes=f.boxes)
     log(f"[{time.time()-t0:.1f}s] map built: kf={sys_.n_keyframes} "
         f"pts={int(sys_.map.next_pt)}")
 
@@ -69,13 +69,24 @@ def main():
     depths = jnp.stack([jnp.asarray(seq.frames[i].depth) for i in idx])
     T = grays.shape[0]
 
+    from eao_fusion_tpu.objects import (association, object_map as obj_om,
+                                        update as obj_update)
     from eao_fusion_tpu.ops import planes as plane_ops
 
+    # fixed-shape per-frame detection boxes for the object lane
+    def pad_boxes(b):
+        out = np.zeros((cfg.objects.max_objects_2d, 6), np.float32)
+        out[:min(len(b), len(out))] = b[:len(out)]
+        return out
+    boxes_all = jnp.asarray(np.stack(
+        [pad_boxes(seq.frames[i].boxes) for i in idx]))
+
     @jax.jit
-    def run_chunk(m, ts, grays, depths):
+    def run_chunk(m, ts, objs, grays, depths, boxes, key):
         def step(carry, inp):
-            m, ts, fid = carry
-            gray, depth = inp
+            m, ts, objs, fid, key = carry
+            gray, depth, bx = inp
+            key, k = jax.random.split(key)
             feats = extractor.extract_features(
                 gray, depth, orb_cfg=cfg.orb, cam_cfg=cfg.camera)
             # per-frame plane extraction + association, as in the
@@ -84,14 +95,22 @@ def main():
                                               cfg=cfg.planes)
             m, ts, diag = tracking.track_frame(m, ts, feats, fid, planes,
                                                cfg=cfg)
-            return (m, ts, fid + 1), diag["n_inliers"]
+            # per-frame object lane (EAO ensemble association + update)
+            fo = obj_om.build_frame_objects(bx, feats, ts.kp_pt, m.pt_xyz,
+                                            m.pt_valid, ts.pose, cfg=cfg)
+            a = association.ensemble_associate(objs, fo, m.pt_xyz, ts.pose,
+                                               fid, cfg=cfg)
+            objs = obj_update.object_update(objs, fo, a, m.pt_xyz, ts.pose,
+                                            fid, k, cfg=cfg)
+            return (m, ts, objs, fid + 1, key), diag["n_inliers"]
 
-        (m, ts, _), ninl = jax.lax.scan(step, (m, ts, jnp.int32(12)),
-                                        (grays, depths))
-        return m, ts, ninl
+        (m, ts, objs, _, _), ninl = jax.lax.scan(
+            step, (m, ts, objs, jnp.int32(12), key), (grays, depths, boxes))
+        return m, ts, objs, ninl
 
-    m, ts = sys_.map, sys_.track
-    m1, ts1, n = run_chunk(m, ts, grays, depths)
+    m, ts, objs = sys_.map, sys_.track, sys_.objects
+    key = jax.random.PRNGKey(3)
+    m1, ts1, o1, n = run_chunk(m, ts, objs, grays, depths, boxes_all, key)
     jax.block_until_ready(n)
     log(f"[{time.time()-t0:.1f}s] compiled; warm inliers={np.asarray(n)}")
 
@@ -99,7 +118,8 @@ def main():
     t1 = time.time()
     ninl = None
     for i in range(n_chunks):
-        m, ts, ninl = run_chunk(m, ts, grays, depths)
+        m, ts, objs, ninl = run_chunk(m, ts, objs, grays, depths,
+                                      boxes_all, key)
     jax.block_until_ready(ninl)
     dt = time.time() - t1
     n_timed = n_chunks * T

@@ -182,10 +182,12 @@ class ObjectConfig:
     iforest_threshold: float = 0.6
     iforest_threshold_merged: float = 0.65
     # The reference culls per associated object per FRAME
-    # (`DataAssociateUpdate` step 6) — the default. The keyframe-rate
-    # option remains for ablation (observationally equivalent since
-    # members only accumulate between keyframes).
-    iforest_keyframe_rate: bool = False
+    # (`DataAssociateUpdate` step 6). Default here is keyframe rate:
+    # members only accumulate between keyframes, so the converged cull set
+    # is the same, and the per-frame variant costs ~37 ms on TPU (small
+    # batched PRNG + tree ops dominate). Set False... set this False to
+    # match the reference schedule exactly.
+    iforest_keyframe_rate: bool = True
     # Association ablation flag, mirroring the reference's mode string
     # ("Full"/"NA"/"IoU"/"NP"/"EAO"/"iForest"/"None", DOC/EAO-SLAM-README.md).
     mode: str = "Full"
