@@ -10,10 +10,12 @@ chip.
 
 Methodology: render a synthetic 640x480 RGBD sequence (the repo ships no
 TUM images), build a map over warm-up frames, then time the steady-state
-per-frame path — full ORB extraction + motion-model match + pose GN +
-local-map match + pose GN — with async dispatch, synchronizing only at the
-end. Keyframe insertion and local BA are keyframe-rate costs reported
-separately on stderr.
+FULL per-frame path on device (lax.scan over frames): ORB extraction,
+plane segmentation + association, motion-model match + pose GN, local-map
+match + pose GN (with plane factors), and the complete EAO object lane
+(frame objects, ensemble association, member fusion, projection culling).
+Keyframe-rate work (insertion, local BA, loop detection, object merge +
+iForest) is excluded, as in the reference's per-frame timers.
 """
 
 import json
