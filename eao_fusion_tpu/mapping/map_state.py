@@ -235,6 +235,45 @@ def refresh_obs_ind(m: MapState) -> MapState:
     return m._replace(obs_ind=Z[:, :P])
 
 
+def compact_points(m: MapState) -> MapState:
+    """Compact valid map points into the table prefix and remap every
+    reference (keyframe observation rows). Invalid slots freed by culling
+    and fusion become reusable; `next_pt` drops to the live count.
+
+    The reference's pointer graph frees points via delete; the dense-table
+    equivalent is this periodic compaction (keyframe-rate, jitted). Object
+    member ids are remapped by the caller (System) which owns that table.
+    Returns (new_map, remap [P] int32 with -1 for dropped slots)."""
+    P = m.max_pt
+    alive = m.pt_valid
+    new_idx = jnp.cumsum(alive.astype(jnp.int32)) - 1       # [P]
+    remap = jnp.where(alive, new_idx, -1)
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+
+    def scatter_rows(x, fill):
+        tgt = jnp.where(alive, new_idx, P)
+        out = jnp.full_like(x, fill)
+        return out.at[tgt].set(x, mode="drop")
+
+    m = m._replace(
+        pt_xyz=scatter_rows(m.pt_xyz, 0.0),
+        pt_valid=jnp.arange(P) < n_alive,
+        pt_desc_pm1=scatter_rows(m.pt_desc_pm1, 0),
+        pt_normal=scatter_rows(m.pt_normal, 0.0),
+        pt_min_dist=scatter_rows(m.pt_min_dist, 0.0),
+        pt_max_dist=scatter_rows(m.pt_max_dist, 1e6),
+        pt_ref_kf=scatter_rows(m.pt_ref_kf, -1),
+        pt_found=scatter_rows(m.pt_found, 0),
+        pt_visible=scatter_rows(m.pt_visible, 0),
+        pt_first_frame=scatter_rows(m.pt_first_frame, -1),
+        next_pt=n_alive,
+    )
+    kf_pt = jnp.where(m.kf_pt_idx >= 0,
+                      remap[jnp.clip(m.kf_pt_idx, 0, None)], -1)
+    m = m._replace(kf_pt_idx=kf_pt)
+    return refresh_obs_ind(m), remap
+
+
 def update_point_stats(m: MapState) -> MapState:
     """Batched recomputation of per-point aggregates from all observations:
     mean viewing normal and found/visible-independent geometry. Replaces

@@ -268,6 +268,22 @@ class System:
             from eao_fusion_tpu.objects import merge as obj_merge
             self.objects = obj_merge.merge_and_overlap(
                 self.objects, self.map.pt_xyz, self._next_key(), cfg=self.cfg)
+        # point-slot compaction when the table runs low (dense-table
+        # equivalent of the reference's pointer deletes)
+        if int(self.map.next_pt) > 0.9 * self.map.max_pt:
+            self.map, remap = jax.jit(ms.compact_points)(self.map)
+            if self.cfg.use_objects:
+                ot = self.objects
+                new_ids = jnp.where(
+                    ot.pt_idx >= 0,
+                    remap[jnp.clip(ot.pt_idx, 0, None)], -1)
+                self.objects = ot._replace(
+                    pt_idx=new_ids, pt_ok=ot.pt_ok & (new_ids >= 0))
+            self.track = self.track._replace(
+                kp_pt=jnp.where(self.track.kp_pt >= 0,
+                                remap[jnp.clip(self.track.kp_pt, 0, None)],
+                                -1))
+            self._last_fo = None
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(
                 self.map, slot, self._next_key())

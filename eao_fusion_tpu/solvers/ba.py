@@ -161,6 +161,7 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
     (and the local-BA block it left #ifdef'd out)."""
     C, N = prob.obs_pt.shape
     P = prob.pt_xyz.shape[0]
+    pt_chunk = min(pt_chunk, P)
     n_chunks = -(-P // pt_chunk)
     P_pad = n_chunks * pt_chunk
 
@@ -208,6 +209,11 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         Hpp_inv = jnp.linalg.inv(Hpp)
         pt_free = prob.pt_valid
         Hpp_inv = jnp.where(pt_free[:, None, None], Hpp_inv, 0.0)
+        # pad the point axis to a whole number of chunks so the scan's
+        # dynamic slices stay aligned with the per-chunk obs masks
+        if P_pad != P:
+            Hpp_inv = jnp.pad(Hpp_inv, ((0, P_pad - P), (0, 0), (0, 0)))
+            bp = jnp.pad(bp, ((0, P_pad - P), (0, 0)))
 
         # Y = J_cᵀ W J_p per obs  [C,N,6,3]
         Y = jnp.einsum("cnri,cn,cnrj->cnij", J_c, w_c, J_p)
