@@ -210,9 +210,11 @@ def segment_planes(depth: jax.Array, *, cam: CameraConfig,
     dist = jnp.abs(pts @ p_coeff[:, :3].T + p_coeff[None, :, 3])  # [S, Pk]
     close = (dist < 0.03) & pts_ok[:, None] & p_valid[None, :]
     B = cfg.max_boundary_points
-    # pick up to B supporting samples per plane (by smallest distance)
+    # pick up to B supporting samples per plane (by smallest distance);
+    # approx_max_k uses the TPU-native approximate selection (exact order
+    # is irrelevant for boundary sampling)
     sel_score = jnp.where(close, -dist, -1e9)                  # [S, Pk]
-    top_b, idx_b = jax.lax.top_k(sel_score.T, B)               # [Pk, B]
+    top_b, idx_b = jax.lax.approx_max_k(sel_score.T, B)        # [Pk, B]
     b_valid = top_b > -1e8
     boundary = pts[idx_b]                                      # [Pk, B, 3]
 
