@@ -146,9 +146,11 @@ class PlaneConfig:
     mse_max: float = 0.0012   # max per-window plane MSE (m^2), depth-adaptive
     merge_normal_dot: float = 0.985  # window merge gate on normal agreement
     merge_dist: float = 0.04  # max plane-to-plane point distance for merge (m)
-    n_merge_sweeps: int = 8   # label-propagation sweeps replacing AHC heap
-    # (each sweep includes two pointer-jumping steps, so 8 sweeps cover
-    # components of diameter ~2^8 windows — the full 48x64 grid)
+    # label-propagation sweeps replacing the AHC heap. 12 measured as the
+    # convergence point: 8 under-merges on a 48x64 window grid (split
+    # plane components bias the fitted d, which the 1e4-weighted distance
+    # factor turns into centimeters of pose error).
+    n_merge_sweeps: int = 12
     max_planes_per_frame: int = 8
     boundary_voxel: float = 0.05  # 5cm voxel downsample of plane points
     max_boundary_points: int = 256  # per plane, fixed capacity

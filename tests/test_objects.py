@@ -78,6 +78,14 @@ class TestObjectsE2E:
         assert int(s.objects.next_obj) >= 10
         assert int(s.objects.valid.sum()) <= 8
 
+    @pytest.mark.parametrize("mode", ["IoU", "NP"])
+    def test_ablation_modes_run(self, mode):
+        """The reference's association-ablation flags must run end-to-end
+        (DOC/EAO-SLAM-README.md modes)."""
+        s, _ = self.run(mode, n_frames=8)
+        assert int(s.objects.next_obj) >= 1
+        assert s.diags[-1]["n_inliers"] > 50
+
     def test_cuboids_contain_centers(self):
         s, _ = self.run("Full", n_frames=10)
         ot = s.objects
