@@ -52,6 +52,26 @@ def test_depth_noise_robustness():
     assert err.ate_rmse < 0.05, err
 
 
+@pytest.mark.slow
+def test_rgbd_quantized_inputs_with_planes():
+    """PNG-quantized inputs (8-bit gray, 16-bit depth) with the FULL config
+    (planes + objects). Depth quantization makes the plane-merge gates
+    borderline; this guards the sweep-count/plane-factor interaction that
+    once cost 4 cm ATE (caught by driving the CLI, not the float tests)."""
+    cfg = SystemConfig(capacity=MapCapacity(max_keyframes=64,
+                                            max_points=8192))
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
+    s = System(cfg)
+    for f in seq.frames:
+        gray = np.round(f.gray * 255) / 255.0
+        depth = np.round(f.depth * 5000) / 5000.0
+        s.process_frame(gray.astype(np.float32), depth.astype(np.float32),
+                        f.timestamp, boxes=f.boxes)
+    err = tum.evaluate_ate_rpe(s.trajectory_tcw(), seq.gt_tcw())
+    assert err.ate_rmse < 0.015, err
+
+
 def test_trajectory_io_roundtrip(tmp_path):
     r = np.random.default_rng(0)
     from eao_fusion_tpu.ops import lie
