@@ -336,8 +336,12 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
     m = refresh_obs_ind(m)       # outlier removal edited kf_pt_idx
     m = cull_keyframes(m, kf_slot)
-    m = refresh_point_descriptors(m)
-    m = update_point_stats(m)
+    # full-table descriptor/normal refreshes are [K*N]-sized scatters —
+    # amortize them (every 4th keyframe); the aggregates they maintain
+    # drift slowly (majority votes / mean normals)
+    def refresh(mm):
+        return update_point_stats(refresh_point_descriptors(mm))
+    m = jax.lax.cond(kf_slot % 4 == 0, refresh, lambda mm: mm, m)
     return m
 
 

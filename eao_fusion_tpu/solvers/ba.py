@@ -218,18 +218,36 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         # Y = J_cᵀ W J_p per obs  [C,N,6,3]
         Y = jnp.einsum("cnri,cn,cnrj->cnij", J_c, w_c, J_p)
 
-        # chunked accumulation of S and rhs over the point axis
+        # accumulation of S and rhs over the point axis. Two regimes:
+        #  * dense: scatter A = Hcp ONCE into [C, P, 6, 3] when it fits
+        #    (local BA; one 32k-row scatter per iteration instead of one
+        #    per chunk — TPU scatters are the expensive op here)
+        #  * chunked: global BA / distributed sharding, bounded memory
+        dense_A = C * P_pad * 18 * 4 <= 192 * 1024 * 1024
+
+        cidx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
+        S0 = jnp.zeros((C, C, 6, 6), jnp.float32)
+        S0 = S0.at[jnp.arange(C), jnp.arange(C)].set(Hcc)
+
+        if dense_A:
+            tgt_full = jnp.where(active, pid, P_pad)
+            A_full = jnp.zeros((C, P_pad + 1, 6, 3), jnp.float32
+                               ).at[cidx.reshape(-1), tgt_full.reshape(-1)
+                                    ].add(Y.reshape(-1, 6, 3))[:, :P_pad]
+
         def chunk_body(carry, k):
             S, rhs = carry
             p0 = k * pt_chunk
-            # scatter obs of this chunk into dense A [C, chunk, 6, 3]
-            local = pid - p0
-            in_chunk = active & (local >= 0) & (local < pt_chunk)
-            tgt = jnp.where(in_chunk, local, pt_chunk)
-            cidx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
-            A = jnp.zeros((C, pt_chunk + 1, 6, 3), jnp.float32
-                          ).at[cidx.reshape(-1), tgt.reshape(-1)].add(
-                Y.reshape(-1, 6, 3))[:, :pt_chunk]
+            if dense_A:
+                A = jax.lax.dynamic_slice(
+                    A_full, (0, p0, 0, 0), (C, pt_chunk, 6, 3))
+            else:
+                local = pid - p0
+                in_chunk = active & (local >= 0) & (local < pt_chunk)
+                tgt = jnp.where(in_chunk, local, pt_chunk)
+                A = jnp.zeros((C, pt_chunk + 1, 6, 3), jnp.float32
+                              ).at[cidx.reshape(-1), tgt.reshape(-1)].add(
+                    Y.reshape(-1, 6, 3))[:, :pt_chunk]
             Hinv_k = jax.lax.dynamic_slice(Hpp_inv, (p0, 0, 0),
                                            (pt_chunk, 3, 3))
             bp_k = jax.lax.dynamic_slice(bp, (p0, 0), (pt_chunk, 3))
@@ -238,8 +256,6 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
             rhs = rhs - jnp.einsum("cpik,pk->ci", AH, bp_k)
             return (S, rhs), None
 
-        S0 = jnp.zeros((C, C, 6, 6), jnp.float32)
-        S0 = S0.at[jnp.arange(C), jnp.arange(C)].set(Hcc)
         (S, rhs), _ = jax.lax.scan(chunk_body, (S0, bc), jnp.arange(n_chunks))
 
         # anchor fixed/invalid cameras: identity rows
@@ -259,13 +275,16 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         # back-substitute points: δp = Hpp⁻¹ (bp − Aᵀ δc), chunked
         def back_body(_, k):
             p0 = k * pt_chunk
-            local = pid - p0
-            in_chunk = active & (local >= 0) & (local < pt_chunk)
-            tgt = jnp.where(in_chunk, local, pt_chunk)
-            cidx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
-            A = jnp.zeros((C, pt_chunk + 1, 6, 3), jnp.float32
-                          ).at[cidx.reshape(-1), tgt.reshape(-1)].add(
-                Y.reshape(-1, 6, 3))[:, :pt_chunk]
+            if dense_A:
+                A = jax.lax.dynamic_slice(
+                    A_full, (0, p0, 0, 0), (C, pt_chunk, 6, 3))
+            else:
+                local = pid - p0
+                in_chunk = active & (local >= 0) & (local < pt_chunk)
+                tgt = jnp.where(in_chunk, local, pt_chunk)
+                A = jnp.zeros((C, pt_chunk + 1, 6, 3), jnp.float32
+                              ).at[cidx.reshape(-1), tgt.reshape(-1)].add(
+                    Y.reshape(-1, 6, 3))[:, :pt_chunk]
             Hinv_k = jax.lax.dynamic_slice(Hpp_inv, (p0, 0, 0),
                                            (pt_chunk, 3, 3))
             bp_k = jax.lax.dynamic_slice(bp, (p0, 0), (pt_chunk, 3))
