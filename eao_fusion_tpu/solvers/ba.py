@@ -56,6 +56,29 @@ class BAResult(NamedTuple):
     chi2: jax.Array        # [] total inlier chi2
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate/determinant) — elementwise
+    VPU math instead of batched LU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    M = jnp.stack([jnp.stack([A11, A12, A13], -1),
+                   jnp.stack([A21, A22, A23], -1),
+                   jnp.stack([A31, A32, A33], -1)], -2)
+    return M * inv_det[..., None, None]
+
+
 def _residuals(prob: BAProblem, cam_pose, pt_xyz, cam):
     """Per-observation residuals r [C,N,3] and Jacobians J_c [C,N,3,6],
     J_p [C,N,3,3] (point Jacobian in world coords)."""
@@ -206,7 +229,7 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         bp = -jnp.zeros((P + 1, 3), jnp.float32).at[flat_pid].add(JtWr_p)[:P]
         # damp + invert (points with no obs get identity -> delta 0 since bp 0)
         Hpp = Hpp + (damping + 1e-6) * jnp.eye(3, dtype=jnp.float32)
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = _inv3x3(Hpp)
         pt_free = prob.pt_valid
         Hpp_inv = jnp.where(pt_free[:, None, None], Hpp_inv, 0.0)
         # pad the point axis to a whole number of chunks so the scan's
@@ -252,8 +275,12 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
                                            (pt_chunk, 3, 3))
             bp_k = jax.lax.dynamic_slice(bp, (p0, 0), (pt_chunk, 3))
             AH = jnp.einsum("cpij,pjk->cpik", A, Hinv_k)
-            S = S - jnp.einsum("cpik,dplk->cdil", AH, A)
-            rhs = rhs - jnp.einsum("cpik,pk->ci", AH, bp_k)
+            # S update as ONE MXU matmul: fold (cam,row) and (point,col)
+            AH2 = AH.transpose(0, 2, 1, 3).reshape(C * 6, pt_chunk * 3)
+            A2 = A.transpose(0, 2, 1, 3).reshape(C * 6, pt_chunk * 3)
+            S2 = jnp.dot(AH2, A2.T, preferred_element_type=jnp.float32)
+            S = S - S2.reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
+            rhs = rhs - (AH2 @ bp_k.reshape(-1)).reshape(C, 6)
             return (S, rhs), None
 
         (S, rhs), _ = jax.lax.scan(chunk_body, (S0, bc), jnp.arange(n_chunks))
@@ -288,7 +315,8 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
             Hinv_k = jax.lax.dynamic_slice(Hpp_inv, (p0, 0, 0),
                                            (pt_chunk, 3, 3))
             bp_k = jax.lax.dynamic_slice(bp, (p0, 0), (pt_chunk, 3))
-            t = bp_k - jnp.einsum("cpij,ci->pj", A, delta_c)
+            A2 = A.transpose(0, 2, 1, 3).reshape(C * 6, pt_chunk * 3)
+            t = bp_k - (delta_c.reshape(-1) @ A2).reshape(pt_chunk, 3)
             dp = jnp.einsum("pij,pj->pi", Hinv_k, t)
             return None, dp
 
