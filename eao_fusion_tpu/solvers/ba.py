@@ -333,9 +333,15 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
     def run_phase(state, active, iters):
         """Levenberg-Marquardt schedule: accept a step only if the
         robustified chi2 decreases; otherwise raise the damping (the g2o
-        behavior the reference relies on, `src/Optimizer.cc:965-1007`)."""
-        def body(carry, _):
-            st, lam = carry
+        behavior the reference relies on, `src/Optimizer.cc:965-1007`).
+        Early-exits on relative cost convergence — g2o's own termination —
+        which typically ends local BA in 3-5 iterations."""
+        def cond(carry):
+            _, _, it, done = carry
+            return (it < iters) & (~done)
+
+        def body(carry):
+            st, lam, it, _ = carry
             cand = gn_iter(st, active, lam)
             c_old = total_chi2(st[0], st[1], active)
             c_new = total_chi2(cand[0], cand[1], active)
@@ -343,9 +349,11 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, cand)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
                             jnp.minimum(lam * 5.0, 1e3))
-            return (st, lam), None
-        (state, _), _ = jax.lax.scan(body, (state, jnp.float32(damping)),
-                                     None, length=iters)
+            done = accept & (c_old - c_new < 1e-4 * jnp.maximum(c_old, 1e-9))
+            return (st, lam, it + 1, done)
+
+        state, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.float32(damping), 0, jnp.bool_(False)))
         return state
 
     state = (prob.cam_pose, prob.pt_xyz)
