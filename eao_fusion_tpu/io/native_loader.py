@@ -41,7 +41,7 @@ def _load():
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int)]
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int64]
     lib.eao_prefetcher_destroy.restype = None
     lib.eao_prefetcher_destroy.argtypes = [ctypes.c_void_p]
     lib.eao_decode_png.restype = ctypes.c_int
@@ -125,7 +125,7 @@ class FramePrefetcher:
             h = ctypes.c_int()
             idx = self._lib.eao_prefetcher_next(
                 self._handle, gray, depth, ctypes.byref(ts),
-                ctypes.byref(w), ctypes.byref(h))
+                ctypes.byref(w), ctypes.byref(h), gray.size)
             if idx == -1:
                 return
             if idx == -2:

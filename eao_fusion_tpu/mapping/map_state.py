@@ -164,7 +164,8 @@ def create_points_from_depth(m: MapState, kf_slot: jax.Array,
                              feats: FrameFeatures, pose: jax.Array,
                              kp_pt_idx: jax.Array, max_depth: float,
                              cam: Tuple[float, float, float, float],
-                             frame_id) -> MapState:
+                             frame_id, *, scale_factor: float = 1.2,
+                             n_levels: int = 8) -> MapState:
     """RGBD landmark creation (semantics of `Tracking::CreateNewKeyFrame`
     `src/Tracking.cc:2521-2576` + `StereoInitialization` :1209): every valid
     keypoint with 0 < depth < max_depth and no associated point spawns a map
@@ -196,10 +197,9 @@ def create_points_from_depth(m: MapState, kf_slot: jax.Array,
     # semantics, `src/MapPoint.cc`): maxDist = dist * scale^level,
     # minDist = maxDist / scale^(L-1).
     # scale factors are static per config; caller passes through feats.level.
-    scale = 1.2  # matches ORBConfig default; refined via update_point_stats
     lvl = feats.level.astype(jnp.float32)
-    max_d = dist * (scale ** lvl) * 1.2
-    min_d = max_d / (scale ** 8)
+    max_d = dist * (scale_factor ** lvl) * scale_factor
+    min_d = max_d / (scale_factor ** n_levels)
 
     tgt = jnp.where(make, new_ids, m.max_pt)  # drop-mode sink
     m = m._replace(

@@ -268,10 +268,14 @@ class LoopCloser:
 
         ei_a = jnp.asarray(np.array(ei, np.int32))
         ej_a = jnp.asarray(np.array(ej, np.int32))
-        # measurements S_ji from PRE-correction poses, except edges touching
-        # corrected keyframes which use the corrected estimates
-        corr_np = np.asarray(corrected)
-        use_new = corr_np[np.array(ei)] | corr_np[np.array(ej)]
+        # Measurements S_ji: pre-existing edges (chain/covisibility) use the
+        # PRE-correction relative poses — the reference's NonCorrectedSim3
+        # (`src/Optimizer.cc:1250-1333`). Corrected poses appear only as the
+        # vertex initial estimates; this mismatch is exactly what creates the
+        # residuals that distribute the loop correction along the trajectory.
+        # Only the loop edge itself measures the corrected relative pose.
+        use_new = np.zeros(len(ei), bool)
+        use_new[-1] = True   # the loop edge appended last above
         src = jnp.where(jnp.asarray(use_new)[:, None], new_sim[ei_a],
                         old_sim[ei_a])
         dst = jnp.where(jnp.asarray(use_new)[:, None], new_sim[ej_a],

@@ -38,7 +38,9 @@ def insert_keyframe_rgbd(m: ms.MapState, feats: FrameFeatures,
     m, slot = ms.insert_keyframe(m, feats, pose, frame_id, timestamp, kp_pt)
     max_depth = 1e9 if is_init else float(cfg.camera.depth_threshold)
     m = ms.create_points_from_depth(m, slot, feats, pose, kp_pt,
-                                    max_depth, cam, frame_id)
+                                    max_depth, cam, frame_id,
+                                    scale_factor=cfg.orb.scale_factor,
+                                    n_levels=cfg.orb.n_levels)
     m = ms.refresh_obs_ind(m)
     m = ms.update_point_stats(m)
     return m

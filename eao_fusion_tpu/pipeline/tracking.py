@@ -179,8 +179,13 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
 
     r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)
     radius_lm = r_base * s ** pred_lvl.astype(jnp.float32)
+    # search only points NOT already matched this frame (the reference's
+    # SearchLocalPoints skips mnLastFrameSeen == current frame) — otherwise
+    # a motion-model-matched point can claim a second keypoint slot and be
+    # double-counted in pose optimization and keyframe observations
     res_lm = matcher.match_points_to_frame(
-        m.pt_xyz, m.pt_desc_pm1, visible, jnp.zeros((m.max_pt,)), pred_lvl,
+        m.pt_xyz, m.pt_desc_pm1, visible & ~seen,
+        jnp.zeros((m.max_pt,)), pred_lvl,
         radius_lm, pred_lvl - 1, pred_lvl,
         feats, r1.pose, cam=cam, width=W, height=H,
         th=cfg.matcher.th_high, nn_ratio=0.8, use_ratio=True,

@@ -244,10 +244,12 @@ void* eao_prefetcher_create(const char** rgb_paths, const char** depth_paths,
 }
 
 // Blocks until a frame is ready. Returns the frame index (>=0), -1 at end
-// of stream, -2 on decode failure. Buffers must hold height*width floats.
+// of stream, -2 on decode failure or when the decoded frame exceeds
+// `capacity` floats (the caller's buffer size) — larger-than-configured
+// images are rejected instead of overrunning the Python-owned buffers.
 int64_t eao_prefetcher_next(void* handle, float* gray_out, float* depth_out,
                             double* timestamp_out, int* width_out,
-                            int* height_out) {
+                            int* height_out, int64_t capacity) {
   auto* p = static_cast<Prefetcher*>(handle);
   Frame* fr = nullptr;
   {
@@ -258,7 +260,9 @@ int64_t eao_prefetcher_next(void* handle, float* gray_out, float* depth_out,
     p->cv_put.notify_one();
   }
   int64_t idx = fr->index;
-  if (idx >= 0 && fr->ok) {
+  bool fits = int64_t(fr->gray.size()) <= capacity &&
+              int64_t(fr->depth.size()) <= capacity;
+  if (idx >= 0 && fr->ok && fits) {
     *width_out = fr->width;
     *height_out = fr->height;
     *timestamp_out = fr->timestamp;
