@@ -53,7 +53,12 @@ def load_state(path: str, system) -> None:
         vals = {}
         for name in template._fields:
             key = f"{prefix}.{name}"
-            vals[name] = jnp.asarray(z[key])
+            if key in z:
+                vals[name] = jnp.asarray(z[key])
+            else:
+                # field added after the checkpoint was written: keep the
+                # freshly initialized value (forward-compatible resume)
+                vals[name] = getattr(template, name)
         return type(template)(**vals)
 
     system.map = unflatten("map", system.map)

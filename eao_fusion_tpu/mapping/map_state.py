@@ -63,6 +63,8 @@ class MapState(NamedTuple):
     pl_boundary: jax.Array    # [L, B, 3] world boundary points
     pl_boundary_valid: jax.Array  # [L, B] bool
     pl_obs_count: jax.Array   # [L] int32
+    pl_ref_kf: jax.Array      # [L] int32 creating keyframe (loop correction
+                              # moves planes through it, like pt_ref_kf)
     # per-keyframe plane observations: camera-frame measured coeffs +
     # associated plane landmark id (feeds plane factors into local/global
     # BA — the reference stores these on the KeyFrame,
@@ -124,6 +126,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         pl_boundary=jnp.zeros((L, B, 3), f32),
         pl_boundary_valid=jnp.zeros((L, B), bool),
         pl_obs_count=jnp.zeros((L,), jnp.int32),
+        pl_ref_kf=jnp.full((L,), -1, jnp.int32),
         kf_pl_coeff=jnp.zeros((K, cfg.planes.max_planes_per_frame, 4), f32),
         kf_pl_idx=jnp.full((K, cfg.planes.max_planes_per_frame), -1,
                            jnp.int32),

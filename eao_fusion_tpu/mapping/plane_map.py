@@ -39,6 +39,18 @@ def boundary_to_world(boundary_c: jax.Array, tcw: jax.Array) -> jax.Array:
     return lie.se3_apply(twc, boundary_c)
 
 
+def transform_planes(coeff: jax.Array, T: jax.Array) -> jax.Array:
+    """Move world planes [.., 4] by the world-to-world SE3 map x' = T(x):
+    n' = R n, d' = d − n'·t (from n·x + d = 0 with x = Rᵀ(x'−t)). The
+    loop-correction counterpart of moving map points by T (the reference
+    achieves the same through free plane vertices in GBA,
+    `src/Optimizer.cc:210-250`)."""
+    R = lie.quat_to_rotmat(T[:4])
+    n = coeff[..., :3] @ R.T
+    d = coeff[..., 3] - n @ T[4:7]
+    return jnp.concatenate([n, d[..., None]], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def associate_planes(m: MapState, fp: FramePlanes, tcw: jax.Array,
                      *, cfg: SystemConfig) -> jax.Array:
@@ -88,7 +100,8 @@ def _align_sign(meas_c: jax.Array, plane_w: jax.Array, tcw: jax.Array
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def update_plane_map(m: MapState, fp: FramePlanes, assoc: jax.Array,
-                     tcw: jax.Array, *, cfg: SystemConfig) -> MapState:
+                     tcw: jax.Array, ref_kf=None, *,
+                     cfg: SystemConfig) -> MapState:
     """Keyframe-rate plane map update: merge boundaries of matched planes
     (ring-buffer overwrite), insert unmatched planes as new landmarks
     (semantics of `src/Tracking.cc:2489-2518` + `MapPlane::UpdateBoundary`)."""
@@ -134,6 +147,8 @@ def update_plane_map(m: MapState, fp: FramePlanes, assoc: jax.Array,
         pl_boundary=m.pl_boundary.at[slot].set(pad_b, mode="drop"),
         pl_boundary_valid=m.pl_boundary_valid.at[slot].set(pad_v, mode="drop"),
         pl_obs_count=m.pl_obs_count.at[slot].set(1, mode="drop"),
+        pl_ref_kf=m.pl_ref_kf.at[slot].set(
+            jnp.int32(-1 if ref_kf is None else ref_kf), mode="drop"),
         next_pl=jnp.minimum(m.next_pl + jnp.sum(new.astype(jnp.int32)),
                             L))
     # effective landmark id of every frame plane (matched or newly created)

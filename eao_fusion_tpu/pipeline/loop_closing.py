@@ -176,8 +176,26 @@ class LoopCloser:
                             m.pt_xyz)
         m = m._replace(kf_pose=new_poses, pt_xyz=new_pts)
 
+        # plane landmarks anchored in the corrected window move with it
+        # (the reference leaves this to GBA's free plane vertices; moving
+        # them here keeps plane factors consistent during the essential
+        # graph too)
+        if cfg.use_planes:
+            from eao_fusion_tpu.mapping import plane_map
+            win_pl = (m.pl_valid & window[jnp.clip(m.pl_ref_kf, 0, K - 1)]
+                      & (m.pl_ref_kf >= 0))
+            m = m._replace(
+                pl_coeff=jnp.where(win_pl[:, None],
+                                   plane_map.transform_planes(m.pl_coeff, C),
+                                   m.pl_coeff),
+                pl_boundary=jnp.where(win_pl[:, None, None],
+                                      lie.se3_apply(C, m.pl_boundary),
+                                      m.pl_boundary))
+
         # ---- fuse duplicated landmarks across the loop ------------------
         m = self._fuse_loop_points(m, cur, cand)
+        if cfg.use_planes:
+            m = self._fuse_loop_planes(m, cur, cand, window)
 
         # ---- essential graph -------------------------------------------
         m = self._essential_graph(m, cur, cand, old_poses, window)
@@ -233,6 +251,59 @@ class LoopCloser:
         m = m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
         from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
         return refresh_obs_ind(m)
+
+    def _fuse_loop_planes(self, m: MapState, cur: int, cand: int,
+                          window: jax.Array) -> MapState:
+        """Plane fusion across the loop (`Map::SearchMatchedPlanes` +
+        `MapPlane::Replace`, `/root/reference/src/Map.cc:245-292`,
+        `src/MapPlane.cc:161-192`, called from
+        `LoopClosing::SearchAndFuse` :638-652): planes observed by the
+        corrected window that now geometrically coincide with a loop-side
+        plane are merged into the loop plane; keyframe plane references
+        are redirected and the duplicate is invalidated."""
+        cfg = self.cfg.planes
+        L = m.pl_coeff.shape[0]
+        Z = covisibility.observation_indicator(m)
+        covis = covisibility.covisibility_counts(Z)
+        loop_kfs = covisibility.top_covisible(covis, cand, m.kf_valid, 20)
+        loop_kfs = loop_kfs.at[cand].set(True)
+
+        def planes_of(kf_mask):
+            tgt = jnp.where(kf_mask[:, None] & (m.kf_pl_idx >= 0),
+                            m.kf_pl_idx, L)
+            return jnp.zeros((L + 1,), bool).at[tgt.reshape(-1)].set(
+                True, mode="drop")[:L] & m.pl_valid
+
+        loop_pl = planes_of(loop_kfs)
+        cur_pl = planes_of(window) & (~loop_pl)
+
+        # gates as in AssociatePlanesByBoundary: |cos| > angle_th and min
+        # distance of the loop plane's boundary to the current plane < dist
+        dots = jnp.abs(m.pl_coeff[:, :3] @ m.pl_coeff[:, :3].T)   # [L, L]
+        dist = jnp.abs(
+            jnp.einsum("lbi,pi->plb", m.pl_boundary, m.pl_coeff[:, :3])
+            + m.pl_coeff[:, None, None, 3])                       # [Lc,Ll,B]
+        dist = jnp.where(m.pl_boundary_valid[None, :, :], dist, 1e9)
+        min_dist = jnp.min(dist, axis=2)                          # [Lc, Ll]
+        ok = ((dots > cfg.assoc_angle_cos) & (min_dist < cfg.assoc_dist)
+              & cur_pl[:, None] & loop_pl[None, :])
+        score = jnp.where(ok, min_dist, 1e9)
+        best = jnp.argmin(score, axis=1).astype(jnp.int32)
+        fuse = jnp.min(score, axis=1) < 1e8                       # [Lc]
+
+        # redirect keyframe plane observations: cur plane -> loop plane
+        remap = jnp.arange(L, dtype=jnp.int32)
+        remap = jnp.where(fuse, best, remap)
+        kf_pl = jnp.where(m.kf_pl_idx >= 0,
+                          remap[jnp.clip(m.kf_pl_idx, 0, None)],
+                          m.kf_pl_idx)
+        pl_valid = m.pl_valid & (~fuse)
+        # the surviving plane absorbs the duplicate's observation count
+        absorbed = jnp.zeros((L,), jnp.int32).at[
+            jnp.where(fuse, best, 0)].add(
+            jnp.where(fuse, m.pl_obs_count, 0))
+        return m._replace(kf_pl_idx=kf_pl, pl_valid=pl_valid,
+                          pl_obs_count=m.pl_obs_count + absorbed)
 
     def _essential_graph(self, m: MapState, cur: int, cand: int,
                          old_poses: jax.Array, corrected: jax.Array
@@ -302,7 +373,24 @@ class LoopCloser:
             jax.vmap(lie.se3_inverse)(t_new), t_old), m.pt_xyz)
         pts = jnp.where(m.pt_valid[:, None], moved, m.pt_xyz)
         poses = jnp.where(m.kf_valid[:, None], new_se3, m.kf_pose)
-        return m._replace(kf_pose=poses, pt_xyz=pts)
+        enter_poses = m.kf_pose   # poses as they entered the pose graph
+        m = m._replace(kf_pose=poses, pt_xyz=pts)
+
+        # planes follow their reference keyframe too (same map as points:
+        # from the pose entering the graph to the optimized pose)
+        if self.cfg.use_planes:
+            from eao_fusion_tpu.mapping import plane_map
+            pref = jnp.clip(m.pl_ref_kf, 0, K - 1)
+            T_pl = jax.vmap(lie.se3_compose)(
+                jax.vmap(lie.se3_inverse)(new_se3[pref]), enter_poses[pref])
+            pl_ok = m.pl_valid & (m.pl_ref_kf >= 0)
+            new_coeff = jax.vmap(plane_map.transform_planes)(m.pl_coeff, T_pl)
+            new_bnd = jax.vmap(lie.se3_apply)(T_pl, m.pl_boundary)
+            m = m._replace(
+                pl_coeff=jnp.where(pl_ok[:, None], new_coeff, m.pl_coeff),
+                pl_boundary=jnp.where(pl_ok[:, None, None], new_bnd,
+                                      m.pl_boundary))
+        return m
 
     def _global_ba(self, m: MapState) -> MapState:
         cfg = self.cfg
@@ -322,21 +410,29 @@ class LoopCloser:
             obs_inv_sigma2=cfg.orb.scale_factor ** (
                 -2.0 * m.kf_kp_level.astype(jnp.float32)),
             obs_valid=m.kf_kp_valid & pt_ok)
-        plane_block = None
+        plane_free = None
         if cfg.use_planes:
-            # GBA plane edges (`src/Optimizer.cc:210-250`)
+            # GBA plane edges with FREE plane vertices
+            # (`src/Optimizer.cc:210-250`: VertexPlane not fixed in GBA)
             pl_idx = m.kf_pl_idx
             pl_ok = (pl_idx >= 0) & m.pl_valid[jnp.clip(pl_idx, 0, None)] \
                 & m.kf_valid[:, None]
-            plane_block = (m.pl_coeff[jnp.clip(pl_idx, 0, None)],
-                           m.kf_pl_coeff, pl_ok)
-        res = ba.bundle_adjust(prob, plane_block, cam=cam5, cfg=cfg.solver,
+            plane_free = ba.PlaneFreeBlock(
+                pl_coeff=m.pl_coeff, pl_free=m.pl_valid,
+                obs_pl=jnp.where(pl_ok, pl_idx, -1),
+                obs_meas=m.kf_pl_coeff, obs_valid=pl_ok)
+        res = ba.bundle_adjust(prob, plane_free=plane_free,
+                               cam=cam5, cfg=cfg.solver,
                                n_iters1=cfg.solver.global_ba_iters // 2,
                                n_iters2=cfg.solver.global_ba_iters // 2,
                                pt_chunk=2048)
         poses = jnp.where(m.kf_valid[:, None], res.cam_pose, m.kf_pose)
         pts = jnp.where(m.pt_valid[:, None], res.pt_xyz, m.pt_xyz)
-        return m._replace(kf_pose=poses, pt_xyz=pts)
+        m = m._replace(kf_pose=poses, pt_xyz=pts)
+        if plane_free is not None:
+            m = m._replace(pl_coeff=jnp.where(m.pl_valid[:, None],
+                                              res.pl_coeff, m.pl_coeff))
+        return m
 
     # ------------------------------------------------------------ driver
     def on_keyframe(self, m: MapState, slot: int, key) -> Tuple[MapState, bool]:

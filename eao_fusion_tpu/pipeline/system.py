@@ -411,7 +411,8 @@ class System:
         assoc = plane_map.associate_planes(self.map, planes, pose,
                                            cfg=self.cfg)
         self.map, plane_ids = plane_map.update_plane_map(
-            self.map, planes, assoc, pose, cfg=self.cfg)
+            self.map, planes, assoc, pose,
+            jnp.int32(-1 if kf_slot is None else kf_slot), cfg=self.cfg)
         if kf_slot is not None:
             self.map = plane_map.record_kf_plane_obs(
                 self.map, jnp.int32(kf_slot), planes, plane_ids)

@@ -54,6 +54,48 @@ class BAResult(NamedTuple):
     pt_xyz: jax.Array
     obs_inlier: jax.Array  # [C, N] bool — final chi2-gated classification
     chi2: jax.Array        # [] total inlier chi2
+    pl_coeff: Optional[jax.Array] = None  # [L, 4] optimized plane landmarks
+                                          # (only with plane_free)
+
+
+class PlaneFreeBlock(NamedTuple):
+    """Free plane vertices for global BA (the reference's VertexPlane with
+    azimuth/elevation/distance oplus, `src/Optimizer.cc:210-250`,
+    `src/g2oAddition/Plane3D.h:68-93`): plane landmarks are 3-DoF blocks
+    marginalized by Schur like points."""
+    pl_coeff: jax.Array    # [L, 4] world Hessian planes (initial estimates)
+    pl_free: jax.Array     # [L] bool — planes eligible for update
+    obs_pl: jax.Array      # [C, F] int32 plane landmark id, -1 = none
+    obs_meas: jax.Array    # [C, F, 4] measured camera-frame coeffs
+    obs_valid: jax.Array   # [C, F] bool
+
+
+def plane_tangent_basis(n: jax.Array):
+    """Orthonormal basis (e1, e2) of the tangent plane at unit normal n —
+    the chart for the azimuth/elevation part of the minimal plane
+    parameterization (`src/g2oAddition/Plane3D.h:68-93`)."""
+    ax = jnp.abs(n[..., 0])
+    a = jnp.where(ax[..., None] < 0.9,
+                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n.dtype),
+                                   n.shape),
+                  jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype),
+                                   n.shape))
+    e1 = jnp.cross(n, a)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-9)
+    e2 = jnp.cross(n, e1)
+    return e1, e2
+
+
+def plane_retract(coeff: jax.Array, delta: jax.Array) -> jax.Array:
+    """coeff [..,4] ⊕ delta [..,3]: rotate the unit normal in its tangent
+    chart, shift the distance (first-order-equivalent to the reference's
+    azimuth/elevation/distance oplus)."""
+    n = coeff[..., :3]
+    d = coeff[..., 3]
+    e1, e2 = plane_tangent_basis(n)
+    n2 = n + e1 * delta[..., 0:1] + e2 * delta[..., 1:2]
+    n2 = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-9)
+    return jnp.concatenate([n2, (d + delta[..., 2])[..., None]], axis=-1)
 
 
 def _inv3x3(A):
@@ -161,6 +203,64 @@ def _plane_terms(cam_pose, plane_w, meas_c, valid, cfg: SolverConfig):
     return Hcc, bc, cost
 
 
+def _plane_free_terms(cam_pose, pl_coeff, pf: PlaneFreeBlock,
+                      cfg: SolverConfig):
+    """Residuals/Jacobians of plane edges with FREE plane vertices
+    (EdgePlane: error = (Tcw ∘ plane_w) ⊖ meas, both endpoints optimizable —
+    `src/g2oAddition/EdgePlane.h:29-45`). Returns per-obs pieces:
+      r_ang [C,F,3], r_dst [C,F], w [C,F] (validity+Huber, info NOT folded),
+      J_cam_ang [C,F,3,6], J_cam_dst [C,F,6],
+      J_pl_ang [C,F,3,3], J_pl_dst [C,F,3], cost [].
+    Plane tangent = (u1, u2, dd) in the normal's tangent basis + distance."""
+    L = pl_coeff.shape[0]
+    pidx = jnp.clip(pf.obs_pl, 0, L - 1)
+    plane_w = pl_coeff[pidx]                              # [C,F,4]
+    valid = (pf.obs_valid & (pf.obs_pl >= 0))
+
+    R = lie.quat_to_rotmat(cam_pose[:, :4])               # [C,3,3]
+    t = cam_pose[:, 4:7]
+    n_w = plane_w[..., :3]
+    d_w = plane_w[..., 3]
+    n_c = jnp.einsum("cij,cfj->cfi", R, n_w)
+    d_c = d_w - jnp.einsum("cfi,ci->cf", n_c, t)
+    n_m = pf.obs_meas[..., :3]
+    d_m = pf.obs_meas[..., 3]
+    flip = jnp.einsum("cfi,cfi->cf", n_c, n_m) < 0
+    n_m = jnp.where(flip[..., None], -n_m, n_m)
+    d_m = jnp.where(flip, -d_m, d_m)
+
+    r_ang = jnp.cross(n_c, n_m)                           # [C,F,3]
+    r_dst = d_c - d_m                                     # [C,F]
+    chi2 = (cfg.plane_angle_info * jnp.sum(r_ang * r_ang, -1)
+            + cfg.plane_dist_info * r_dst * r_dst)
+    hub = jnp.minimum(1.0, jnp.sqrt(cfg.plane_chi2
+                                    / jnp.maximum(chi2, 1e-12)))
+    w = valid.astype(jnp.float32) * hub * (chi2 <= 4 * cfg.plane_chi2)
+
+    # camera Jacobians (left retraction; see solvers/pose_opt.py derivation)
+    dnc_dw = -lie.so3_hat(n_c)                            # [C,F,3,3]
+    dra_dnc = -lie.so3_hat(n_m)                           # [C,F,3,3]
+    J_cam_ang = jnp.concatenate(
+        [jnp.einsum("cfij,cfjk->cfik", dra_dnc, dnc_dw),
+         jnp.zeros(n_c.shape[:-1] + (3, 3), n_c.dtype)], -1)  # [C,F,3,6]
+    J_cam_dst = jnp.concatenate([jnp.zeros_like(n_c), -n_c], -1)  # [C,F,6]
+
+    # plane Jacobians: d n_c/d(u1,u2) = R [e1 e2]; d d_c/d u = −tᵀR[e1 e2]
+    # (from d_c = d_w − (R n_w)·t), d d_c/d dd = 1, d r_ang/d n_c = −[n_m]ₓ
+    e1, e2 = plane_tangent_basis(n_w)
+    RE = jnp.stack([jnp.einsum("cij,cfj->cfi", R, e1),
+                    jnp.einsum("cij,cfj->cfi", R, e2)], -1)   # [C,F,3,2]
+    J_ang_u = jnp.einsum("cfij,cfjk->cfik", dra_dnc, RE)      # [C,F,3,2]
+    J_pl_ang = jnp.concatenate(
+        [J_ang_u, jnp.zeros(J_ang_u.shape[:-1] + (1,), J_ang_u.dtype)], -1)
+    J_dst_u = -jnp.einsum("ci,cfik->cfk", t, RE)              # [C,F,2]
+    J_pl_dst = jnp.concatenate(
+        [J_dst_u, jnp.ones(J_dst_u.shape[:-1] + (1,), J_dst_u.dtype)], -1)
+
+    cost = jnp.sum(jnp.where(valid, jnp.minimum(chi2, cfg.plane_chi2), 0.0))
+    return r_ang, r_dst, w, J_cam_ang, J_cam_dst, J_pl_ang, J_pl_dst, cost
+
+
 def _weights(r, stereo, behind, prob, active, cfg: SolverConfig):
     chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
     delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
@@ -173,6 +273,7 @@ def _weights(r, stereo, behind, prob, active, cfg: SolverConfig):
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
                                              "n_iters2", "pt_chunk"))
 def bundle_adjust(prob: BAProblem, plane_block=None, *,
+                  plane_free: Optional[PlaneFreeBlock] = None,
                   cam: Tuple[float, ...],
                   cfg: SolverConfig, n_iters1: int = 5, n_iters2: int = 10,
                   pt_chunk: int = 4096, damping: float = 1e-3) -> BAResult:
@@ -181,7 +282,11 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
     `plane_block` optionally adds plane factors as
     (plane_w [C,F,4], meas_c [C,F,4], valid [C,F]) with the planes held
     fixed — the pose-constraining part of the reference's GBA plane edges
-    (and the local-BA block it left #ifdef'd out)."""
+    (and the local-BA block it left #ifdef'd out).
+
+    `plane_free` instead makes plane landmarks free 3-DoF vertices
+    marginalized by Schur alongside the points — full GBA parity with
+    `src/Optimizer.cc:210-250` (VertexPlane + EdgePlane)."""
     C, N = prob.obs_pt.shape
     P = prob.pt_xyz.shape[0]
     pt_chunk = min(pt_chunk, P)
@@ -190,8 +295,10 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
 
     obs_ok0 = (prob.obs_valid & (prob.obs_pt >= 0)
                & prob.cam_valid[:, None])
+    pl0 = (plane_free.pl_coeff if plane_free is not None
+           else jnp.zeros((1, 4), jnp.float32))
 
-    def total_chi2(cam_pose, pt_xyz, active):
+    def total_chi2(cam_pose, pt_xyz, pl_coeff, active):
         r, _, _, stereo, behind = _residuals(prob, cam_pose, pt_xyz, cam)
         c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
         # robustified cost (Huber) so the accept test matches the solve
@@ -203,10 +310,14 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         if plane_block is not None:
             _, _, pcost = _plane_terms(cam_pose, *plane_block, cfg)
             total = total + pcost
+        if plane_free is not None:
+            pcost = _plane_free_terms(cam_pose, pl_coeff, plane_free,
+                                      cfg)[-1]
+            total = total + pcost
         return total
 
     def gn_iter(state, active, damping):
-        cam_pose, pt_xyz = state
+        cam_pose, pt_xyz, pl_coeff = state
         r, J_c, J_p, stereo, behind = _residuals(prob, cam_pose, pt_xyz, cam)
         w, _ = _weights(r, stereo, behind, prob, active, cfg)
 
@@ -220,6 +331,39 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
             fc = free_cam[:, None, None]
             Hcc = Hcc + Hp * fc
             bc = bc + bp_c * free_cam[:, None]
+        if plane_free is not None:
+            L = pl_coeff.shape[0]
+            (r_ang, r_dst, w_pl, Jca, Jcd, Jpa, Jpd,
+             _) = _plane_free_terms(cam_pose, pl_coeff, plane_free, cfg)
+            ai, di = cfg.plane_angle_info, cfg.plane_dist_info
+            w_plc = w_pl * free_cam[:, None]
+            # camera block
+            Hcc = Hcc + (ai * jnp.einsum("cfri,cf,cfrj->cij", Jca, w_plc, Jca)
+                         + di * jnp.einsum("cfi,cf,cfj->cij", Jcd, w_plc, Jcd))
+            bc = bc - (ai * jnp.einsum("cfri,cf,cfr->ci", Jca, w_plc, r_ang)
+                       + di * jnp.einsum("cfi,cf,cf->ci", Jcd, w_plc, r_dst))
+            # plane block (scatter over the small L axis)
+            Hll_obs = (ai * jnp.einsum("cfri,cf,cfrj->cfij", Jpa, w_pl, Jpa)
+                       + di * jnp.einsum("cfi,cf,cfj->cfij", Jpd, w_pl, Jpd))
+            bl_obs = -(ai * jnp.einsum("cfri,cf,cfr->cfi", Jpa, w_pl, r_ang)
+                       + di * jnp.einsum("cfi,cf,cf->cfi", Jpd, w_pl, r_dst))
+            pl_tgt = jnp.where(plane_free.obs_valid
+                               & (plane_free.obs_pl >= 0),
+                               plane_free.obs_pl, L).reshape(-1)
+            Hll = jnp.zeros((L + 1, 3, 3), jnp.float32).at[pl_tgt].add(
+                Hll_obs.reshape(-1, 3, 3))[:L]
+            bl = jnp.zeros((L + 1, 3), jnp.float32).at[pl_tgt].add(
+                bl_obs.reshape(-1, 3))[:L]
+            # cross block A_cl [C, L, 6, 3]
+            Acl_obs = (ai * jnp.einsum("cfri,cf,cfrj->cfij", Jca, w_plc, Jpa)
+                       + di * jnp.einsum("cfi,cf,cfj->cfij", Jcd, w_plc, Jpd))
+            cidx_pl = jnp.broadcast_to(
+                jnp.arange(C)[:, None], plane_free.obs_pl.shape).reshape(-1)
+            Acl = jnp.zeros((C, L + 1, 6, 3), jnp.float32).at[
+                cidx_pl, pl_tgt].add(Acl_obs.reshape(-1, 6, 3))[:, :L]
+            Hll = Hll + (damping + 1e-6) * jnp.eye(3, dtype=jnp.float32)
+            Hll_inv = jnp.where(plane_free.pl_free[:, None, None],
+                                _inv3x3(Hll), 0.0)
         # point system over all P (padded slot P for drop)
         pid = prob.obs_pt
         flat_pid = jnp.where(active, pid, P).reshape(-1)
@@ -251,6 +395,10 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         cidx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
         S0 = jnp.zeros((C, C, 6, 6), jnp.float32)
         S0 = S0.at[jnp.arange(C), jnp.arange(C)].set(Hcc)
+        if plane_free is not None:
+            # marginalize the plane blocks (L is small — dense einsums)
+            S0 = S0 - jnp.einsum("clij,ljk,dlmk->cdim", Acl, Hll_inv, Acl)
+            bc = bc - jnp.einsum("clij,ljk,lk->ci", Acl, Hll_inv, bl)
 
         if dense_A:
             tgt_full = jnp.where(active, pid, P_pad)
@@ -326,9 +474,17 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         # clamp wild point moves (robustness against ill-conditioned Hpp)
         delta_p = jnp.clip(delta_p, -10.0, 10.0)
 
+        # back-substitute planes: δl = Hll⁻¹ (bl − A_clᵀ δc)
+        if plane_free is not None:
+            t_l = bl - jnp.einsum("clij,ci->lj", Acl, delta_c)
+            delta_l = jnp.einsum("lij,lj->li", Hll_inv, t_l)
+            delta_l = jnp.where(good & plane_free.pl_free[:, None],
+                                jnp.clip(delta_l, -2.0, 2.0), 0.0)
+            pl_coeff = plane_retract(pl_coeff, delta_l)
+
         cam_pose = jax.vmap(lie.se3_retract)(cam_pose, delta_c)
         pt_xyz = pt_xyz + delta_p
-        return (cam_pose, pt_xyz)
+        return (cam_pose, pt_xyz, pl_coeff)
 
     def run_phase(state, active, iters):
         """Levenberg-Marquardt schedule: accept a step only if the
@@ -343,8 +499,8 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         def body(carry):
             st, lam, it, _ = carry
             cand = gn_iter(st, active, lam)
-            c_old = total_chi2(st[0], st[1], active)
-            c_new = total_chi2(cand[0], cand[1], active)
+            c_old = total_chi2(*st, active)
+            c_new = total_chi2(*cand, active)
             accept = (c_new < c_old) & jnp.isfinite(c_new)
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, cand)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
@@ -356,7 +512,7 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
             cond, body, (state, jnp.float32(damping), 0, jnp.bool_(False)))
         return state
 
-    state = (prob.cam_pose, prob.pt_xyz)
+    state = (prob.cam_pose, prob.pt_xyz, pl0)
     state = run_phase(state, obs_ok0, n_iters1)
 
     # outlier reclassification between phases (chi2 gate + positive depth)
@@ -372,4 +528,5 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
     inlier = obs_ok0 & (chi2 <= thr) & (~behind)
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(cam_pose=state[0], pt_xyz=state[1],
-                    obs_inlier=inlier, chi2=total)
+                    obs_inlier=inlier, chi2=total,
+                    pl_coeff=state[2] if plane_free is not None else None)

@@ -96,6 +96,64 @@ class TestBA:
                                    np.asarray(prob.cam_pose)[0], atol=1e-7)
 
 
+class TestFreePlaneGBA:
+    def test_perturbed_plane_converges_and_constrains(self):
+        """Free plane vertices in GBA (`src/Optimizer.cc:210-250`): a
+        perturbed plane landmark converges back to truth while the plane
+        edges also constrain the poses."""
+        r = np.random.default_rng(5)
+        prob, cams_gt, pts_gt = make_ba_problem(r, noise_px=0.1)
+        C = cams_gt.shape[0]
+        pl_gt = np.array([[0.0, -1.0, 0.0, 1.5],
+                          [1.0, 0.0, 0.0, 2.5],
+                          [0.0, 0.0, 1.0, -8.0]], np.float32)
+        Lp = pl_gt.shape[0]
+        # exact camera-frame measurements from GT poses
+        meas = np.zeros((C, Lp, 4), np.float32)
+        for c in range(C):
+            R = np.asarray(lie.quat_to_rotmat(jnp.asarray(cams_gt[c, :4])))
+            t = cams_gt[c, 4:7]
+            n_c = pl_gt[:, :3] @ R.T
+            d_c = pl_gt[:, 3] - n_c @ t
+            meas[c] = np.concatenate([n_c, d_c[:, None]], axis=1)
+        # perturb the landmark planes
+        delta = r.normal(0, 0.05, (Lp, 3)).astype(np.float32)
+        pl0 = np.asarray(ba.plane_retract(jnp.asarray(pl_gt),
+                                          jnp.asarray(delta)))
+        pf = ba.PlaneFreeBlock(
+            pl_coeff=jnp.asarray(pl0), pl_free=jnp.ones(Lp, bool),
+            obs_pl=jnp.tile(jnp.arange(Lp, dtype=jnp.int32), (C, 1)),
+            obs_meas=jnp.asarray(meas), obs_valid=jnp.ones((C, Lp), bool))
+        res = ba.bundle_adjust(prob, plane_free=pf, cam=CAM, cfg=CFG,
+                               pt_chunk=128)
+        pl = np.asarray(res.pl_coeff)
+        ncos = np.abs(np.sum(pl[:, :3] * pl_gt[:, :3], axis=1))
+        assert (ncos > 0.9999).all(), ncos
+        assert (np.abs(pl[:, 3] - pl_gt[:, 3]) < 2e-2).all(), pl[:, 3]
+        # poses still converge with plane factors in the system
+        assert cam_rmse(res.cam_pose, cams_gt) < \
+            cam_rmse(prob.cam_pose, cams_gt) * 0.5
+
+    def test_nonfree_planes_fixed(self):
+        r = np.random.default_rng(6)
+        prob, cams_gt, _ = make_ba_problem(r, noise_px=0.1)
+        C = cams_gt.shape[0]
+        pl0 = np.array([[0.0, -1.0, 0.0, 1.5]], np.float32)
+        meas = np.zeros((C, 1, 4), np.float32)
+        for c in range(C):
+            R = np.asarray(lie.quat_to_rotmat(jnp.asarray(cams_gt[c, :4])))
+            n_c = pl0[:, :3] @ R.T
+            d_c = pl0[:, 3] - n_c @ cams_gt[c, 4:7]
+            meas[c] = np.concatenate([n_c, d_c[:, None]], axis=1)
+        pf = ba.PlaneFreeBlock(
+            pl_coeff=jnp.asarray(pl0), pl_free=jnp.zeros(1, bool),
+            obs_pl=jnp.zeros((C, 1), jnp.int32),
+            obs_meas=jnp.asarray(meas), obs_valid=jnp.ones((C, 1), bool))
+        res = ba.bundle_adjust(prob, plane_free=pf, cam=CAM, cfg=CFG,
+                               pt_chunk=128)
+        np.testing.assert_allclose(np.asarray(res.pl_coeff), pl0, atol=1e-7)
+
+
 class TestDistributedBA:
     def test_matches_single_device(self):
         from eao_fusion_tpu.parallel import dist_ba, mesh as mesh_util
