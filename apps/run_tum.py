@@ -51,6 +51,9 @@ def main(argv=None):
                     help="association ablation flag (Full/NA/IoU/NP/None)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--localization-only", action="store_true",
+                    help="track against the (resumed) map without mapping "
+                         "(System::ActivateLocalizationMode)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--depth-factor", type=float, default=5000.0)
     args = ap.parse_args(argv)
@@ -90,6 +93,8 @@ def main(argv=None):
     if args.resume:
         from eao_fusion_tpu.io import checkpoint
         checkpoint.load_state(args.resume, s)
+    if args.localization_only:
+        s.activate_localization_mode()
 
     # frame source: native prefetcher (background C++ PNG decode) when
     # built, PIL fallback otherwise

@@ -361,10 +361,113 @@ def load_params(path: str) -> Dict:
     return params
 
 
+# ------------------------------------------------- torch checkpoint import
+
+# our module name -> torch module path in the official YOLOX layout
+# (Megvii YOLOX: YOLOX = {backbone: YOLOPAFPN{backbone: CSPDarknet, ...},
+#  head: YOLOXHead}; the reference serializes exactly this graph into its
+# TensorRT engine, `/root/reference/src/YOLOX.cc:7-41`)
+_TORCH_MAP = {
+    "stem.conv": "backbone.backbone.stem.conv",
+    "dark2_down": "backbone.backbone.dark2.0",
+    "dark2_csp": "backbone.backbone.dark2.1",
+    "dark3_down": "backbone.backbone.dark3.0",
+    "dark3_csp": "backbone.backbone.dark3.1",
+    "dark4_down": "backbone.backbone.dark4.0",
+    "dark4_csp": "backbone.backbone.dark4.1",
+    "dark5_down": "backbone.backbone.dark5.0",
+    "sppf.c1": "backbone.backbone.dark5.1.conv1",
+    "sppf.c2": "backbone.backbone.dark5.1.conv2",
+    "dark5_csp": "backbone.backbone.dark5.2",
+    "lateral5": "backbone.lateral_conv0",
+    "fpn4": "backbone.C3_p4",
+    "lateral4": "backbone.reduce_conv1",
+    "fpn3": "backbone.C3_p3",
+    "down3": "backbone.bu_conv2",
+    "pan4": "backbone.C3_n3",
+    "down4": "backbone.bu_conv1",
+    "pan5": "backbone.C3_n4",
+}
+for _i, _h in enumerate(("head8", "head16", "head32")):
+    _TORCH_MAP.update({
+        f"{_h}.stem": f"head.stems.{_i}",
+        f"{_h}.cls1": f"head.cls_convs.{_i}.0",
+        f"{_h}.cls2": f"head.cls_convs.{_i}.1",
+        f"{_h}.cls_pred": f"head.cls_preds.{_i}",
+        f"{_h}.reg1": f"head.reg_convs.{_i}.0",
+        f"{_h}.reg2": f"head.reg_convs.{_i}.1",
+        f"{_h}.reg_pred": f"head.reg_preds.{_i}",
+        f"{_h}.obj_pred": f"head.obj_preds.{_i}",
+    })
+_CSP_SUB = {"c1": "conv1", "c2": "conv2", "c3": "conv3"}
+_PLAIN_CONVS = ("cls_pred", "reg_pred", "obj_pred")  # bias, no BN
+_BN_EPS = 1e-3   # YOLOX builds BatchNorm2d(eps=0.001, momentum=0.03)
+
+
+def fold_conv_bn(w_oihw: np.ndarray, gamma, beta, mean, var,
+                 eps: float = _BN_EPS) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold BatchNorm into the preceding conv: y = BN(conv(x)) becomes one
+    conv with w' = w * gamma/sqrt(var+eps) (per output channel) and
+    b' = beta - mean * gamma/sqrt(var+eps). Returns (w_hwio, b)."""
+    scale = gamma / np.sqrt(var + eps)
+    w = w_oihw * scale[:, None, None, None]
+    b = beta - mean * scale
+    return w.transpose(2, 3, 1, 0).astype(np.float32), b.astype(np.float32)
+
+
+def convert_torch_state_dict(sd: Dict, n_classes: int = 80) -> Dict:
+    """Map an official YOLOX state dict (numpy or torch tensors) to this
+    module's param tree, folding every BatchNorm into its conv."""
+    def arr(key):
+        v = sd[key]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+
+    def base_conv(tpath):
+        return fold_conv_bn(arr(f"{tpath}.conv.weight"),
+                            arr(f"{tpath}.bn.weight"),
+                            arr(f"{tpath}.bn.bias"),
+                            arr(f"{tpath}.bn.running_mean"),
+                            arr(f"{tpath}.bn.running_var"))
+
+    def plain_conv(tpath):
+        w = arr(f"{tpath}.weight").transpose(2, 3, 1, 0).astype(np.float32)
+        return w, arr(f"{tpath}.bias").astype(np.float32)
+
+    # strip a potential DataParallel "module." prefix
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+
+    params: Dict = {}
+
+    def put(ours, w, b):
+        parts = ours.split(".")
+        d = params
+        for part in parts[:-1]:
+            d = d.setdefault(part, {})
+        d[parts[-1]] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+    for ours, tpath in _TORCH_MAP.items():
+        if ours.endswith("_csp") or ours in ("fpn3", "fpn4", "pan4", "pan5"):
+            for sub, tsub in _CSP_SUB.items():
+                put(f"{ours}.{sub}", *base_conv(f"{tpath}.{tsub}"))
+            i = 0
+            while f"{tpath}.m.{i}.conv1.conv.weight" in sd:
+                put(f"{ours}.m{i}.c1", *base_conv(f"{tpath}.m.{i}.conv1"))
+                put(f"{ours}.m{i}.c2", *base_conv(f"{tpath}.m.{i}.conv2"))
+                i += 1
+        elif ours.split(".")[-1] in _PLAIN_CONVS:
+            put(ours, *plain_conv(tpath))
+        else:
+            put(ours, *base_conv(tpath))
+    return params
+
+
 def convert_torch_checkpoint(pth_path: str, out_path: str) -> None:
-    """Convert an official YOLOX torch checkpoint (BN folded into convs)
-    into this module's npz layout. Offline utility; requires the torch
-    (CPU) wheel baked into the image."""
-    raise NotImplementedError(
-        "name mapping for the official checkpoint layout is tracked for a "
-        "future round; the offline-box reader covers dataset parity runs")
+    """Convert an official YOLOX torch checkpoint (e.g. yolox_s.pth) into
+    this module's npz layout with BN folded into convs. Offline utility;
+    uses the CPU torch wheel baked into the image."""
+    import torch
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    save_params(out_path, convert_torch_state_dict(sd))

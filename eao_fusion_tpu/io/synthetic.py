@@ -84,15 +84,39 @@ def _blocky_texture(r: np.random.Generator, size: int = 512) -> np.ndarray:
     return np.clip(tex, 0.0, 1.0)
 
 
+def _voronoi_texture(r: np.random.Generator, size: int = 512,
+                     n_seeds: int = 700) -> np.ndarray:
+    """Aperiodic cell-noise texture: each pixel takes the value of its
+    nearest random seed point. Cell borders are irregular polygons, so FAST
+    corners land at Voronoi vertices with NO lattice structure — a shifted
+    view cannot be self-consistent (unlike `_blocky_texture`, whose block
+    grid makes 360°-revisit alignment ambiguous; see tests/test_loop_e2e)."""
+    pts = r.uniform(0, size, (n_seeds, 2)).astype(np.float32)
+    vals = r.uniform(0.05, 1.0, n_seeds).astype(np.float32)
+    out = np.empty((size, size), np.float32)
+    xs = np.arange(size, dtype=np.float32)
+    for y0 in range(0, size, 64):
+        yy = np.arange(y0, min(y0 + 64, size), dtype=np.float32)
+        d = ((yy[:, None, None] - pts[:, 1]) ** 2
+             + (xs[None, :, None] - pts[:, 0]) ** 2)
+        out[y0:y0 + 64] = vals[np.argmin(d, axis=-1)]
+    # high-contrast speckles at random (non-lattice) positions
+    ys, xs_i = r.integers(0, size, (2, 400))
+    out[ys, xs_i] = 1.0
+    return out
+
+
 def make_room_scene(seed: int = 0, n_objects: int = 4,
-                    closed: bool = False) -> Scene:
+                    closed: bool = False,
+                    texture: str = "blocky") -> Scene:
     """A room in the first-camera frame (x right, y down, z forward):
     floor at y=+1.2, back wall at z=+4.5, side walls, boxes on the floor.
     `closed` adds a wall behind the camera (needed for 360° spins)."""
     r = np.random.default_rng(seed)
+    tex_fn = _voronoi_texture if texture == "aperiodic" else _blocky_texture
     # the closed-room wall texture is drawn LAST so the RNG stream feeding
     # box geometry matches open-room scenes (keeps render caches valid)
-    textures = [_blocky_texture(r) for _ in range(4 + n_objects)]
+    textures = [tex_fn(r) for _ in range(4 + n_objects)]
 
     def v(*a):
         return np.array(a, np.float32)
@@ -120,7 +144,7 @@ def make_room_scene(seed: int = 0, n_objects: int = 4,
         boxes.append(BoxPrim(lo, hi, 4 + i, class_id=i % 8))
     if closed:
         wall_tex = len(textures)
-        textures.append(_blocky_texture(r))
+        textures.append(tex_fn(r))
         rects.append(RectPrim(v(-3.0, -2.0, -1.5), v(6.0, 0, 0),
                               v(0, 3.2, 0), wall_tex))
         rects[0] = RectPrim(v(-3.0, 1.2, -1.5), v(6.0, 0, 0),
@@ -276,6 +300,16 @@ def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
             tz = 0.15 * (1 - np.cos(ang))
             yaw = ang
             pitch = 0.0
+        elif style == "spin15":
+            # 1.5 turns: the last third re-traverses already-mapped walls,
+            # giving the loop detector several consecutive revisit keyframes
+            # (its 3-consecutive consistency gate needs them)
+            ang = 3 * np.pi * s
+            tx = 0.15 * np.sin(ang)
+            ty = 0.0
+            tz = 0.15 * (1 - np.cos(ang))
+            yaw = ang
+            pitch = 0.0
         else:
             raise ValueError(style)
         w = np.array([pitch, yaw, 0.0], np.float32)
@@ -288,18 +322,20 @@ def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
 def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
                       camera: Optional[CameraConfig] = None,
                       depth_noise: float = 0.0, n_objects: int = 4,
-                      fps: float = 30.0,
+                      fps: float = 30.0, texture: str = "blocky",
                       cache_dir: Optional[str] = None) -> SyntheticSequence:
     """Render (or load from `cache_dir`) a ground-truthed RGBD sequence.
     Rendering is ~15 s/frame on a slow host CPU, so tests and benches pass a
     cache directory keyed on all generation parameters."""
     import os
     cam = camera or CameraConfig()
-    closed = style == "spin"
+    closed = style in ("spin", "spin15")
+    tex_tag = "" if texture == "blocky" else f"_t{texture}"
     key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
-           f"_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
+           f"{tex_tag}_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
     path = os.path.join(cache_dir, key) if cache_dir else None
-    scene = make_room_scene(seed=seed, n_objects=n_objects, closed=closed)
+    scene = make_room_scene(seed=seed, n_objects=n_objects, closed=closed,
+                            texture=texture)
     if path and os.path.exists(path):
         z = np.load(path, allow_pickle=True)
         frames = [SyntheticFrame(gray=z["gray"][i], depth=z["depth"][i],

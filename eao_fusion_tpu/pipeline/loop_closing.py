@@ -42,6 +42,9 @@ class LoopCloser:
         # consistency groups: list of (set_of_kf_slots, count)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -10 ** 9
+        # loop edges of accepted closures, kept for later essential graphs
+        # (`KeyFrame::GetLoopEdges`, `src/Optimizer.cc:1287-1311`)
+        self.loop_edges: List[Tuple[int, int]] = []
 
     # ---------------------------------------------------------------- bow
     def add_keyframe_bow(self, m: MapState, slot: int) -> None:
@@ -193,12 +196,26 @@ class LoopCloser:
                                       m.pl_boundary))
 
         # ---- fuse duplicated landmarks across the loop ------------------
+        covis_before = np.asarray(covis)
         m = self._fuse_loop_points(m, cur, cand)
         if cfg.use_planes:
             m = self._fuse_loop_planes(m, cur, cand, window)
 
+        # new connections created by the fusion: window KFs now strongly
+        # covisible with out-of-window KFs (the reference's LoopConnections,
+        # `src/LoopClosing.cc:540-560`) — these edges get corrected
+        # measurements in the essential graph
+        covis_after = np.asarray(covisibility.covisibility_counts(
+            covisibility.observation_indicator(m)))
+        win_np = np.asarray(window)
+        new_strong = ((covis_after >= 100) & win_np[:, None]
+                      & (~win_np)[None, :] & (covis_before < 15))
+        loop_pairs = [(int(j), int(i))               # (older, newer)
+                      for i, j in np.argwhere(new_strong) if j < i]
+
         # ---- essential graph -------------------------------------------
-        m = self._essential_graph(m, cur, cand, old_poses, window)
+        m = self._essential_graph(m, cur, cand, old_poses, window,
+                                  loop_pairs)
 
         # ---- global BA (`RunGlobalBundleAdjustment`) --------------------
         m = self._global_ba(m)
@@ -306,51 +323,106 @@ class LoopCloser:
                           pl_obs_count=m.pl_obs_count + absorbed)
 
     def _essential_graph(self, m: MapState, cur: int, cand: int,
-                         old_poses: jax.Array, corrected: jax.Array
-                         ) -> MapState:
+                         old_poses: jax.Array, corrected: jax.Array,
+                         loop_pairs=None) -> MapState:
+        """Sim3 pose graph over the REAL essential-graph structure
+        (`Optimizer::OptimizeEssentialGraph`, `src/Optimizer.cc:1141-1435`):
+        spanning tree (parent = most covisible earlier keyframe) + strong
+        covisibility edges (weight >= minFeat=100) + the new loop
+        connections + loop edges of previous closures. Edge construction is
+        vectorized (no O(K^2) host loop) and survives keyframe culling —
+        parents are recomputed from the covisibility counts, not slot order.
+        """
         cfg = self.cfg
         K = m.max_kf
         Z = covisibility.observation_indicator(m)
         covis = np.asarray(covisibility.covisibility_counts(Z))
         kf_valid = np.asarray(m.kf_valid)
         n_kf = int(np.asarray(m.next_kf))
+        min_feat = 100
+
+        # ---- spanning tree: parent(i) = most covisible valid j < i -------
+        idx = np.arange(K)
+        earlier = (idx[None, :] < idx[:, None]) & kf_valid[None, :] \
+            & kf_valid[:, None]
+        w_tree = np.where(earlier, covis, -1)
+        parent = w_tree.argmax(axis=1)
+        has_parent = (w_tree.max(axis=1) > 0) & kf_valid & (idx > 0)
+        # keyframes orphaned by culling chain to the nearest earlier valid
+        orphan = kf_valid & (idx > 0) & (~has_parent)
+        if orphan.any():
+            prev_valid = np.where(kf_valid, idx, -1)
+            nearest = np.maximum.accumulate(
+                np.concatenate([[-1], prev_valid[:-1]]))
+            parent = np.where(orphan & (nearest >= 0), nearest, parent)
+            has_parent = has_parent | (orphan & (nearest >= 0))
+        tree_i = parent[has_parent]
+        tree_j = idx[has_parent]
+
+        # ---- strong covisibility edges (upper triangle, skip tree) -------
+        strong = (covis >= min_feat) & kf_valid[:, None] & kf_valid[None, :]
+        strong &= idx[None, :] > idx[:, None]          # i < j once
+        strong[parent[has_parent], idx[has_parent]] = False
+        strong[idx[has_parent], parent[has_parent]] = False
+        cov_i, cov_j = np.nonzero(strong)
+
+        # ---- loop connections (corrected measurements) --------------------
+        # these take precedence: duplicate tree/covis edges are dropped so
+        # the loop constraints always carry corrected measurements
+        lp = [(int(cand), int(cur))]
+        if loop_pairs is not None:
+            lp += [(int(a), int(b)) for a, b in loop_pairs
+                   if (int(a), int(b)) != (int(cand), int(cur))]
+        lp_set = {(min(p), max(p)) for p in lp}
+
+        def drop_dups(a, b):
+            keep = np.array([(min(x, y), max(x, y)) not in lp_set
+                             for x, y in zip(a.tolist(), b.tolist())], bool)
+            return a[keep], b[keep]
+
+        tree_i, tree_j = drop_dups(tree_i, tree_j)
+        cov_i, cov_j = drop_dups(cov_i, cov_j)
+        # previous closures' loop edges (non-corrected measurements)
+        seen = set(map(tuple, zip(cov_i.tolist(), cov_j.tolist()))) | \
+            set(map(tuple, zip(tree_i.tolist(), tree_j.tolist()))) | lp_set
+        prev_lp = [(a, b) for a, b in self.loop_edges
+                   if kf_valid[a] and kf_valid[b]
+                   and (min(a, b), max(a, b)) not in seen]
+
+        ei = np.concatenate([tree_i, cov_i,
+                             np.array([p[0] for p in prev_lp + lp], np.int64)
+                             ]).astype(np.int32)
+        ej = np.concatenate([tree_j, cov_j,
+                             np.array([p[1] for p in prev_lp + lp], np.int64)
+                             ]).astype(np.int32)
+        wgt = np.ones(len(ei), np.float32)
+        wgt[-len(lp):] = 10.0   # new loop connections strongly weighted
+        use_new = np.zeros(len(ei), bool)
+        use_new[-len(lp):] = True
+
+        # pad to a power-of-two bucket: optimize_pose_graph recompiles per
+        # edge-count otherwise (weight 0 disables padded slots)
+        E = max(8, 1 << (len(ei) - 1).bit_length())
+        pad = E - len(ei)
+        ei = np.pad(ei, (0, pad))
+        ej = np.pad(ej, (0, pad))
+        wgt = np.pad(wgt, (0, pad))
+        use_new = np.pad(use_new, (0, pad))
 
         old_sim = lie.sim3_from_se3(old_poses)
         new_sim = lie.sim3_from_se3(m.kf_pose)
-
-        ei, ej, w = [], [], []
-        # sequential chain (spanning-tree stand-in)
-        for i in range(1, n_kf):
-            if kf_valid[i] and kf_valid[i - 1]:
-                ei.append(i - 1)
-                ej.append(i)
-                w.append(1.0)
-        # strong covisibility edges (weight >= 100, `src/Optimizer.cc:1240`)
-        for i in range(n_kf):
-            for j in range(i + 2, n_kf):
-                if kf_valid[i] and kf_valid[j] and covis[i, j] >= 100:
-                    ei.append(i)
-                    ej.append(j)
-                    w.append(1.0)
-        # loop edge, strongly weighted
-        ei.append(cand)
-        ej.append(cur)
-        w.append(10.0)
-
-        ei_a = jnp.asarray(np.array(ei, np.int32))
-        ej_a = jnp.asarray(np.array(ej, np.int32))
-        # Measurements S_ji: pre-existing edges (chain/covisibility) use the
-        # PRE-correction relative poses — the reference's NonCorrectedSim3
-        # (`src/Optimizer.cc:1250-1333`). Corrected poses appear only as the
-        # vertex initial estimates; this mismatch is exactly what creates the
-        # residuals that distribute the loop correction along the trajectory.
-        # Only the loop edge itself measures the corrected relative pose.
-        use_new = np.zeros(len(ei), bool)
-        use_new[-1] = True   # the loop edge appended last above
-        src = jnp.where(jnp.asarray(use_new)[:, None], new_sim[ei_a],
-                        old_sim[ei_a])
-        dst = jnp.where(jnp.asarray(use_new)[:, None], new_sim[ej_a],
-                        old_sim[ej_a])
+        ei_a = jnp.asarray(ei)
+        ej_a = jnp.asarray(ej)
+        # Measurements S_ji: pre-existing edges (tree/covisibility/old loop)
+        # use the PRE-correction relative poses — the reference's
+        # NonCorrectedSim3 (`src/Optimizer.cc:1250-1333`). Corrected poses
+        # appear only as vertex initial estimates; this mismatch creates the
+        # residuals that distribute the loop correction along the
+        # trajectory. Only the new loop connections measure corrected
+        # relative poses.
+        un = jnp.asarray(use_new)[:, None]
+        src = jnp.where(un, new_sim[ei_a], old_sim[ei_a])
+        dst = jnp.where(un, new_sim[ej_a], old_sim[ej_a])
         meas = jax.vmap(lambda a, b: lie.sim3_compose(b, lie.sim3_inverse(a))
                         )(src, dst)
 
@@ -358,10 +430,12 @@ class LoopCloser:
         prob = pose_graph.PoseGraphProblem(
             poses=new_sim, pose_valid=m.kf_valid, fixed=fixed,
             edge_i=ei_a, edge_j=ej_a, edge_meas=meas,
-            edge_weight=jnp.asarray(np.array(w, np.float32)))
+            edge_weight=jnp.asarray(wgt))
         opt = pose_graph.optimize_pose_graph(
             prob, n_iters=cfg.loop.pose_graph_iters,
             fix_scale=cfg.loop.fix_scale_rgbd)
+        # remember the new loop edges for later closures
+        self.loop_edges.extend(lp)
 
         # correct map points through their reference keyframe:
         # p' = T_ref_new⁻¹ ∘ T_ref_old (p)   (`src/Optimizer.cc:1380-1410`)

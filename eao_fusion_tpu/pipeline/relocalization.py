@@ -24,6 +24,51 @@ from eao_fusion_tpu.pipeline.tracking import _build_pose_obs
 from eao_fusion_tpu.solvers import pose_opt
 
 
+def reloc_candidates(m: MapState, v: jax.Array, bow_db: jax.Array,
+                     max_candidates: int = 5) -> np.ndarray:
+    """Candidate gating with `KeyFrameDatabase::DetectRelocalizationCandidates`
+    parity (`src/KeyFrameDatabase.cc:198-310`): (1) common-word count >=
+    0.8 x max over the database, (2) covisibility-group score accumulation
+    over each candidate's top-10 covisible keyframes, (3) retain groups
+    scoring >= 0.75 x best accumulated score, return each retained group's
+    best keyframe ordered by accumulated score. All steps are dense
+    vectorized passes — the inverted index becomes two matmuls."""
+    from eao_fusion_tpu.mapping import covisibility
+
+    kf_valid = np.asarray(m.kf_valid)
+    # common-word counts: one [K, W] @ [W] indicator matmul replaces the
+    # inverted-index walk
+    common = np.asarray((bow_db > 0).astype(jnp.float32)
+                        @ (v > 0).astype(jnp.float32))
+    common = np.where(kf_valid, common, 0.0)
+    if common.max() <= 0:
+        return np.zeros((0,), np.int64)
+    is_cand = common > 0.8 * common.max()
+    scores = np.asarray(vocabulary.l1_scores(v, bow_db, m.kf_valid))
+    scores = np.where(is_cand, scores, 0.0)
+
+    # covisibility-group accumulation over the top-10 covisible keyframes
+    Z = covisibility.observation_indicator(m)
+    covis = np.asarray(covisibility.covisibility_counts(Z))
+    covis = np.where(kf_valid[None, :] & kf_valid[:, None], covis, 0)
+    K = covis.shape[0]
+    top10 = np.argsort(-covis, axis=1)[:, :10]          # [K, 10]
+    in_group = np.zeros((K, K), bool)
+    rows = np.repeat(np.arange(K), 10)
+    in_group[rows, top10.reshape(-1)] = covis[rows, top10.reshape(-1)] > 0
+    in_group[np.arange(K), np.arange(K)] = True
+    acc = (in_group * scores[None, :]).sum(axis=1)      # [K] group scores
+    best_in_group = in_group * scores[None, :]
+    best_kf = best_in_group.argmax(axis=1)              # [K]
+    acc = np.where(is_cand, acc, 0.0)
+    retain = acc >= 0.75 * acc.max()
+    cand_kfs, first = np.unique(best_kf[retain & is_cand],
+                                return_index=True)
+    cand_acc = acc[retain & is_cand][first]
+    order = cand_kfs[np.argsort(-cand_acc)][:max_candidates]
+    return order
+
+
 def relocalize(m: MapState, feats, bow_db: jax.Array,
                vocab: vocabulary.Vocabulary, key, *, cfg: SystemConfig,
                n_candidates: int = 5
@@ -31,7 +76,7 @@ def relocalize(m: MapState, feats, bow_db: jax.Array,
     """Returns (pose [7] or None, kp_pt [N] association vector)."""
     v = vocabulary.bow_vector(vocab, feats.desc_pm1, feats.valid)
     scores = np.asarray(vocabulary.l1_scores(v, bow_db, m.kf_valid))
-    order = np.argsort(-scores)[:n_candidates]
+    order = reloc_candidates(m, v, bow_db, max_candidates=n_candidates)
     cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
     cam5 = cam + (cfg.camera.bf,)
 

@@ -55,8 +55,10 @@ class System:
         self.track = tracking.init_track_state(self.cfg)
         self.trajectory: List[np.ndarray] = []
         self.timestamps: List[float] = []
+        self._traj_refs: List = []   # (ref_kf, T_cr) per recorded frame
         self.frame_id = 0
         self.n_keyframes = 0
+        self.localization_only = False
         self.diags: List[dict] = []
         from eao_fusion_tpu.objects import object_map as om
         self.objects = om.empty_table(self.cfg)
@@ -89,6 +91,17 @@ class System:
         self._key, k = jax.random.split(self._key)
         return k
 
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self) -> None:
+        """Track against the frozen map without mapping
+        (`System::ActivateLocalizationMode`, `include/System.h:79-84`,
+        `src/Tracking.cc:963-1021` mbOnlyTracking): no keyframe insertion,
+        no landmark/object/plane updates — the map stays bit-identical."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.localization_only = False
+
     def reset(self) -> None:
         """Clear the map and tracking state (`System::Reset` ->
         `Tracking::Reset`, `src/Tracking.cc:2947-2990`); trajectory history
@@ -98,6 +111,10 @@ class System:
         self.track = tracking.init_track_state(self.cfg)
         self.objects = om.empty_table(self.cfg)
         self.n_keyframes = 0
+        # keyframe slots restart from 0: freeze past trajectory entries at
+        # their recorded absolute poses (their references no longer exist)
+        self._traj_refs = [(-1, raw) for raw, _ in
+                           zip(self.trajectory, self._traj_refs)]
         self._mono_ref = None
         self._last_fo = None
         if self.loop_closer is not None:
@@ -166,15 +183,21 @@ class System:
             self.frame_id += 1
             return np.asarray(pose)
 
-        self.map, self.track, diag = tracking.track_frame(
+        loc_only = getattr(self, "localization_only", False)
+        m_out, self.track, diag = tracking.track_frame(
             self.map, self.track, feats, jnp.int32(self.frame_id), planes,
             cfg=cfg)
+        if not loc_only:
+            # localization-only keeps the map untouched (track_frame's only
+            # map writes are the found/visible counters)
+            self.map = m_out
         self.diags.append({k: int(v) for k, v in diag.items()
                            if getattr(v, "ndim", 0) == 0})
 
         # ---- auto-reset when lost early (`src/Tracking.cc:1174-1182`):
         # with <= 5 keyframes a loss means initialization was bad ----
         if (int(self.track.status) == tracking.STATUS_LOST
+                and not loc_only
                 and self.n_keyframes
                 <= cfg.tracking.reset_if_lost_below_kfs):
             self.reset()
@@ -206,6 +229,7 @@ class System:
             boxes = self.detector.result()   # joins the async detection
         new_object = False
         if (cfg.use_objects and boxes is not None and len(boxes)
+                and not loc_only
                 and int(self.track.status) == tracking.STATUS_OK):
             from eao_fusion_tpu.objects import (association, object_map as om,
                                                 update as obj_update)
@@ -230,8 +254,9 @@ class System:
         # a newly created map object also triggers a keyframe (the
         # reference's NeedNewKeyFrame returns 2 on AppearNewObject,
         # `src/Tracking.cc:2390-2462`)
-        if bool(diag["need_kf"]) or (new_object
-                                     and self.map.next_kf < self.map.max_kf):
+        if not loc_only and (
+                bool(diag["need_kf"])
+                or (new_object and self.map.next_kf < self.map.max_kf)):
             self.map = insert_keyframe_rgbd(
                 self.map, feats, self.track.pose, self.track.kp_pt,
                 self.frame_id, timestamp, cfg=cfg, is_init=False)
@@ -420,8 +445,36 @@ class System:
     def _record(self, pose, timestamp) -> None:
         self.trajectory.append(np.asarray(pose))
         self.timestamps.append(float(timestamp))
+        # reference keyframe + relative pose, so the trajectory can be
+        # re-derived through loop-corrected keyframes
+        # (`System::SaveTrajectoryTUM`, `src/System.cc:274-327`: stores
+        # mlpReferences + mlRelativeFramePoses)
+        ref = int(self.track.ref_kf) if self.n_keyframes > 0 else -1
+        if ref >= 0:
+            t_rw = self.map.kf_pose[ref]
+            t_cr = lie.se3_compose(jnp.asarray(np.asarray(pose)),
+                                   lie.se3_inverse(t_rw))
+            self._traj_refs.append((ref, np.asarray(t_cr)))
+        else:
+            self._traj_refs.append((-1, np.asarray(pose)))
 
     # ------------------------------------------------------------------
-    def trajectory_tcw(self) -> np.ndarray:
-        return np.stack(self.trajectory) if self.trajectory else \
-            np.zeros((0, 7), np.float32)
+    def trajectory_tcw(self, corrected: bool = False) -> np.ndarray:
+        """Raw per-frame estimates, or (corrected=True) the trajectory
+        re-derived through the CURRENT keyframe poses — after a loop
+        closure / GBA this reflects the corrected map, exactly as the
+        reference's `SaveTrajectoryTUM` replay does."""
+        if not self.trajectory:
+            return np.zeros((0, 7), np.float32)
+        if not corrected:
+            return np.stack(self.trajectory)
+        kf_pose = np.asarray(self.map.kf_pose)
+        kf_valid = np.asarray(self.map.kf_valid)
+        out = []
+        for raw, (ref, t_cr) in zip(self.trajectory, self._traj_refs):
+            if ref >= 0 and kf_valid[ref]:
+                out.append(np.asarray(lie.se3_compose(
+                    jnp.asarray(t_cr), jnp.asarray(kf_pose[ref]))))
+            else:
+                out.append(raw)
+        return np.stack(out)

@@ -46,3 +46,49 @@ def test_rgbd_relocalization_after_blackout():
     for f in seq.frames[9:12]:
         s.process_frame(f.gray, f.depth, f.timestamp + 1.0)
     assert s.diags[-1]["n_inliers"] > 80
+
+
+def test_reloc_candidate_gating_rejects_near_duplicates():
+    """`KeyFrameDatabase::DetectRelocalizationCandidates` parity
+    (`src/KeyFrameDatabase.cc:198-310`): a keyframe sharing only ONE word
+    with the query is rejected by the 0.8 x max common-word gate even if
+    that word gives it an inflated L1 score; candidates come from the
+    covisibility group that actually shares vocabulary."""
+    import jax.numpy as jnp
+    from eao_fusion_tpu.mapping import map_state as ms
+    from eao_fusion_tpu.pipeline import relocalization
+
+    cfg = SystemConfig(
+        orb=ORBConfig(n_features=100, max_keypoints=128),
+        capacity=MapCapacity(max_keyframes=16, max_points=512))
+    m = ms.empty_map(cfg)
+    K, W = 16, 64
+    # two covisibility groups: KFs 0-5 observe points 0-99,
+    # KFs 6-11 observe points 100-199 (disjoint -> two groups)
+    kf_pt = np.full((K, cfg.orb.max_keypoints), -1, np.int32)
+    for k in range(6):
+        kf_pt[k, :100] = np.arange(100)
+    for k in range(6, 12):
+        kf_pt[k, :100] = 100 + np.arange(100)
+    m = m._replace(
+        kf_valid=jnp.asarray(np.r_[np.ones(12, bool), np.zeros(4, bool)]),
+        kf_pt_idx=jnp.asarray(kf_pt),
+        pt_valid=jnp.ones((cfg.capacity.max_points,), bool),
+        next_kf=jnp.int32(12))
+    m = ms.refresh_obs_ind(m)
+
+    bow = np.zeros((K, W), np.float32)
+    bow[:6, :20] = 1.0 / 20          # group A: words 0-19
+    bow[6:12, 40:60] = 1.0 / 20      # group B: words 40-59
+    # spoof: KF 8 (group B) puts ALL its mass on word 0 -> huge L1 overlap
+    # with the query on that single word, but only 1 common word
+    bow[8] = 0.0
+    bow[8, 0] = 1.0
+    v = np.zeros(W, np.float32)
+    v[:20] = 1.0 / 20                # query speaks group A's vocabulary
+
+    order = relocalization.reloc_candidates(
+        m, jnp.asarray(v), jnp.asarray(bow))
+    assert len(order) >= 1
+    assert all(c < 6 for c in order), order   # only group A survives
+    assert 8 not in order

@@ -84,3 +84,36 @@ def test_trajectory_io_roundtrip(tmp_path):
     np.testing.assert_allclose(ts2, ts, atol=1e-5)
     err = tum.evaluate_ate_rpe(tcw2, tcw, align=False)
     assert err.ate_rmse < 1e-5
+
+
+@pytest.mark.slow
+def test_localization_only_mode_freezes_map():
+    """`System::ActivateLocalizationMode` (`include/System.h:79-84`):
+    tracking against a frozen map inserts no keyframes and leaves every
+    map array bit-identical, while still producing accurate poses."""
+    import jax
+
+    cfg = SystemConfig(
+        orb=ORBConfig(n_features=500, max_keypoints=512),
+        capacity=MapCapacity(max_keyframes=64, max_points=4096),
+        use_planes=False, use_objects=False)
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
+    s = System(cfg)
+    for f in seq.frames[:12]:
+        s.process_frame(f.gray, f.depth, f.timestamp)
+    kf_before = s.n_keyframes
+    map_before = jax.tree.map(np.asarray, s.map)
+
+    s.activate_localization_mode()
+    for f in seq.frames[12:]:
+        s.process_frame(f.gray, f.depth, f.timestamp)
+
+    assert s.n_keyframes == kf_before
+    for name, before in map_before._asdict().items():
+        after = np.asarray(getattr(s.map, name))
+        assert np.array_equal(before, after), f"map field {name} changed"
+    # pose quality preserved while localizing
+    err = tum.evaluate_ate_rpe(s.trajectory_tcw()[3:], seq.gt_tcw()[3:20])
+    assert err.ate_rmse < 0.03, err
+    assert all(d["n_inliers"] >= 30 for d in s.diags[-8:])

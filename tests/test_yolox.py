@@ -94,3 +94,110 @@ class TestDetectorProtocol:
         r = det.result()
         assert r is not None and r.shape[1] == 6
         assert det.result() is None   # consumed (latest-wins)
+
+
+def make_torch_state_dict(params, rng):
+    """Build an official-layout YOLOX state dict whose tensor SHAPES mirror
+    `params` (an init_params tree) with random values — the converter
+    round-trip can then be validated without downloading weights."""
+    sd = {}
+
+    def add_base_conv(tpath, w_hwio):
+        k, _, cin, cout = w_hwio.shape
+        sd[f"{tpath}.conv.weight"] = rng.normal(
+            0, 0.1, (cout, cin, k, k)).astype(np.float32)
+        sd[f"{tpath}.bn.weight"] = rng.uniform(
+            0.5, 1.5, cout).astype(np.float32)
+        sd[f"{tpath}.bn.bias"] = rng.normal(0, 0.1, cout).astype(np.float32)
+        sd[f"{tpath}.bn.running_mean"] = rng.normal(
+            0, 0.1, cout).astype(np.float32)
+        sd[f"{tpath}.bn.running_var"] = rng.uniform(
+            0.5, 2.0, cout).astype(np.float32)
+
+    def add_plain_conv(tpath, w_hwio):
+        k, _, cin, cout = w_hwio.shape
+        sd[f"{tpath}.weight"] = rng.normal(
+            0, 0.1, (cout, cin, k, k)).astype(np.float32)
+        sd[f"{tpath}.bias"] = rng.normal(0, 0.1, cout).astype(np.float32)
+
+    for ours, tpath in yolox._TORCH_MAP.items():
+        node = params
+        for part in ours.split("."):
+            node = node[part]
+        if ours.endswith("_csp") or ours in ("fpn3", "fpn4", "pan4", "pan5"):
+            for sub, tsub in yolox._CSP_SUB.items():
+                add_base_conv(f"{tpath}.{tsub}", np.asarray(node[sub]["w"]))
+            i = 0
+            while f"m{i}" in node:
+                add_base_conv(f"{tpath}.m.{i}.conv1",
+                              np.asarray(node[f"m{i}"]["c1"]["w"]))
+                add_base_conv(f"{tpath}.m.{i}.conv2",
+                              np.asarray(node[f"m{i}"]["c2"]["w"]))
+                i += 1
+        elif ours.split(".")[-1] in yolox._PLAIN_CONVS:
+            add_plain_conv(tpath, np.asarray(node["w"]))
+        else:
+            add_base_conv(tpath, np.asarray(node["w"]))
+    return sd
+
+
+class TestTorchConverter:
+    def test_tree_structure_and_shapes_match(self):
+        tmpl = yolox.init_params(jax.random.PRNGKey(0), width_mult=0.25)
+        sd = make_torch_state_dict(tmpl, np.random.default_rng(0))
+        conv = yolox.convert_torch_state_dict(sd)
+
+        def flat(d, prefix=""):
+            out = {}
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    out.update(flat(v, f"{prefix}{k}."))
+                else:
+                    out[f"{prefix}{k}"] = np.asarray(v).shape
+            return out
+        a, b = flat(tmpl), flat(conv)
+        assert a == b, set(a) ^ set(b)
+
+    def test_bn_folding_matches_torch(self):
+        """Converted conv+bias must equal torch's conv -> BN -> SiLU."""
+        import torch
+        import torch.nn.functional as F
+
+        tmpl = yolox.init_params(jax.random.PRNGKey(1), width_mult=0.25)
+        rng = np.random.default_rng(1)
+        sd = make_torch_state_dict(tmpl, rng)
+        conv = yolox.convert_torch_state_dict(sd)
+
+        tp = "backbone.backbone.dark2.0"   # our dark2_down, stride 2
+        x = rng.normal(0, 1, (1, 16, 16, 16)).astype(np.float32)
+        y_ours = np.asarray(yolox._conv(conv["dark2_down"],
+                                        jnp.asarray(x), 2))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        y = F.conv2d(xt, torch.from_numpy(sd[f"{tp}.conv.weight"]),
+                     stride=2, padding=1)
+        y = F.batch_norm(y,
+                         torch.from_numpy(sd[f"{tp}.bn.running_mean"]),
+                         torch.from_numpy(sd[f"{tp}.bn.running_var"]),
+                         torch.from_numpy(sd[f"{tp}.bn.weight"]),
+                         torch.from_numpy(sd[f"{tp}.bn.bias"]),
+                         training=False, eps=yolox._BN_EPS)
+        y_torch = (F.silu(y)).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(y_ours, y_torch, atol=2e-5, rtol=1e-4)
+
+    def test_identical_boxes_through_both_weight_paths(self, tmp_path):
+        """save_params/load_params round trip of a converted checkpoint
+        produces bit-identical detections."""
+        tmpl = yolox.init_params(jax.random.PRNGKey(2), width_mult=0.25)
+        sd = make_torch_state_dict(tmpl, np.random.default_rng(2))
+        conv = yolox.convert_torch_state_dict(sd)
+        path = str(tmp_path / "w.npz")
+        yolox.save_params(path, conv)
+        loaded = yolox.load_params(path)
+
+        img = jnp.asarray(np.random.default_rng(3).uniform(
+            0, 1, (1, 640, 640, 3)).astype(np.float32))
+        raw_a = yolox.yolox_forward(conv, img)
+        raw_b = yolox.yolox_forward(loaded, img)
+        det_a = np.asarray(yolox.decode_and_nms(raw_a, jnp.float32(1.0)))
+        det_b = np.asarray(yolox.decode_and_nms(raw_b, jnp.float32(1.0)))
+        np.testing.assert_array_equal(det_a, det_b)
