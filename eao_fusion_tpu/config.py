@@ -223,10 +223,12 @@ class MapCapacity:
     max_planes: int = 32
     max_objects: int = 64
     # Per-keyframe keypoint slots == ORBConfig.max_keypoints.
-    # Local BA observation capacity (edges).
+    # Local BA capacities: the window problem is compacted to these shapes
+    # (edge list [max_local_ba_obs], point table [max_local_ba_points]);
+    # overflow observations/points are excluded from that BA call.
     max_local_ba_obs: int = 16384
     max_local_ba_kfs: int = 32
-    max_local_ba_points: int = 8192
+    max_local_ba_points: int = 4096
 
 
 @dataclass(frozen=True)
@@ -272,6 +274,10 @@ class SystemConfig:
     use_planes: bool = True
     use_objects: bool = True
     use_loop_closing: bool = True
+    # Distributed global BA: when >1 and that many devices are attached,
+    # LoopCloser._global_ba shards the point table / observations over an
+    # ``lm`` mesh of this size (parallel/dist_ba.py). 0/1 = single-device.
+    gba_mesh_devices: int = 0
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)

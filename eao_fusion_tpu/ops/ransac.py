@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.ops.precision import f32_matmuls
 
 
 def horn_align(pa: jax.Array, pb: jax.Array, w: jax.Array,
@@ -81,6 +82,7 @@ class PnPResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "n_hypotheses"))
+@f32_matmuls
 def ransac_pnp(pw: jax.Array, uv: jax.Array, valid: jax.Array,
                key: jax.Array, *, cam: Tuple[float, float, float, float],
                n_hypotheses: int = 192, reproj_th: float = 4.0) -> PnPResult:
@@ -118,6 +120,7 @@ class RansacResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("n_hypotheses", "with_scale"))
+@f32_matmuls
 def ransac_align(pa: jax.Array, pb: jax.Array, valid: jax.Array,
                  key: jax.Array, *, n_hypotheses: int = 128,
                  inlier_th: float = 0.10, with_scale: bool = False

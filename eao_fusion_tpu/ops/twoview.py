@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.ops.precision import f32_matmuls
 from eao_fusion_tpu.solvers.triangulation import triangulate_dlt
 
 
@@ -164,6 +165,7 @@ class TwoViewResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "n_hypotheses"))
+@f32_matmuls
 def initialize_two_view(uv1: jax.Array, uv2: jax.Array, valid: jax.Array,
                         key: jax.Array,
                         *, cam: Tuple[float, float, float, float],

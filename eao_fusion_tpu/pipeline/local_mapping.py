@@ -124,10 +124,15 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
     (`LocalMapping::SearchInNeighbors` + `ORBmatcher::Fuse`,
     `src/LocalMapping.cc:458-634`, `src/ORBmatcher.cc:825`):
 
-    project the new keyframe's points into each neighbor; a projection that
-    lands on a neighbor keypoint with a matching descriptor either merges
-    the two map points (the better-observed id wins, all references
-    redirected) or adds the missing observation."""
+    BOTH fuse directions of the reference are run, per neighbor:
+      * new KF's points -> neighbor frame (first loop, `:554-562`)
+      * neighbor's points -> the NEW keyframe (second loop, `:564-576`) —
+        this is the direction that gives old, currently-untracked
+        landmarks fresh observations in the new keyframe; without it they
+        starve below the obs>=3 culling bar during exploration.
+    A projection that lands on a keypoint with a matching descriptor
+    either merges the two map points (the better-observed id wins, all
+    references redirected) or adds the missing observation."""
     from eao_fusion_tpu.frontend import matcher as fm
     from eao_fusion_tpu.types import FrameFeatures
 
@@ -141,34 +146,31 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
     row = jnp.where(m.kf_valid, row, -1.0)
     _, nbrs = jax.lax.top_k(row, 2)
 
-    def fuse_into(m, nb, obs_count):
-        ok_nb = (covis[kf_slot, nb] > 15) & m.kf_valid[nb] & (nb != kf_slot)
-        # the new KF's tracked points, as a projection-search source set
-        src_pt = m.kf_pt_idx[kf_slot]
-        src_ok = (src_pt >= 0) & ok_nb & \
+    def fuse_pair(m, src, dst, ok_pair, obs_count):
+        """Project src keyframe's tracked points into dst's frame."""
+        src_pt = m.kf_pt_idx[src]
+        src_ok = (src_pt >= 0) & ok_pair & \
             m.pt_valid[jnp.clip(src_pt, 0, None)]
         pts_w = m.pt_xyz[jnp.clip(src_pt, 0, None)]
-        nb_feats = FrameFeatures(
-            uv=m.kf_kp_uv[nb], response=jnp.ones_like(m.kf_kp_angle[nb]),
-            level=m.kf_kp_level[nb], angle=m.kf_kp_angle[nb],
+        dst_feats = FrameFeatures(
+            uv=m.kf_kp_uv[dst], response=jnp.ones_like(m.kf_kp_angle[dst]),
+            level=m.kf_kp_level[dst], angle=m.kf_kp_angle[dst],
             desc_packed=jnp.zeros((m.kf_kp_uv.shape[1], 8), jnp.uint32),
-            desc_pm1=m.kf_desc_pm1[nb], valid=m.kf_kp_valid[nb],
-            depth=m.kf_kp_depth[nb], uright=m.kf_kp_uright[nb])
-        radius = 3.0 * s ** m.kf_kp_level[kf_slot].astype(jnp.float32)
+            desc_pm1=m.kf_desc_pm1[dst], valid=m.kf_kp_valid[dst],
+            depth=m.kf_kp_depth[dst], uright=m.kf_kp_uright[dst])
+        radius = 3.0 * s ** m.kf_kp_level[src].astype(jnp.float32)
         res = fm.match_points_to_frame(
-            pts_w, m.kf_desc_pm1[kf_slot], src_ok,
-            m.kf_kp_angle[kf_slot], m.kf_kp_level[kf_slot],
-            radius, m.kf_kp_level[kf_slot] - 1,
-            m.kf_kp_level[kf_slot] + 1, nb_feats, m.kf_pose[nb],
+            pts_w, m.kf_desc_pm1[src], src_ok,
+            m.kf_kp_angle[src], m.kf_kp_level[src],
+            radius, m.kf_kp_level[src] - 1,
+            m.kf_kp_level[src] + 1, dst_feats, m.kf_pose[dst],
             cam=cam, width=W, height=H, th=cfg.matcher.th_low,
             check_rotation=False)
-        # res.target_idx: per neighbor-kp slot -> index into the new KF's
-        # kp slots (the source rows)
-        nb_kp = jnp.arange(m.kf_pt_idx.shape[1])
+        # res.target_idx: per dst-kp slot -> index into src's kp slots
         src_slot = res.target_idx
         has = src_slot >= 0
         pt_new = src_pt[jnp.clip(src_slot, 0, None)]        # fused-in id
-        pt_old = m.kf_pt_idx[nb]                            # existing id
+        pt_old = m.kf_pt_idx[dst]                           # existing id
         both = has & (pt_old >= 0) & (pt_new != pt_old) & \
             m.pt_valid[jnp.clip(pt_old, 0, None)]
         # keep the better-observed point
@@ -187,12 +189,15 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
             False, mode="drop")
         # add missing observations (projection matched an orphan keypoint)
         add = has & (pt_old < 0)
-        kf_pt = kf_pt.at[nb].set(
-            jnp.where(add, pt_new, kf_pt[nb]))
+        kf_pt = kf_pt.at[dst].set(
+            jnp.where(add, pt_new, kf_pt[dst]))
         return m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
 
     for k in range(2):
-        m = fuse_into(m, nbrs[k], obs_count)
+        nb = nbrs[k]
+        ok = (covis[kf_slot, nb] > 15) & m.kf_valid[nb] & (nb != kf_slot)
+        m = fuse_pair(m, kf_slot, nb, ok, obs_count)
+        m = fuse_pair(m, nb, kf_slot, ok, obs_count)
     from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
     return refresh_obs_ind(m)
 
@@ -229,15 +234,22 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array,
 
 
 def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:
-    """MapPointCulling semantics."""
+    """MapPointCulling (`src/LocalMapping.cc:174-209`). The reference only
+    tests points still in `mlpRecentAddedMapPoints` — a point that survives
+    3 keyframes graduates and is never re-tested. Applying the obs<3 rule
+    to ALL points retro-culls graduated landmarks whenever keyframe culling
+    or outlier removal drops their count, which strip-mines the map's
+    reserve during rotation-heavy motion (measured on the spin15 loop
+    scenario: 491 -> 181 valid points in 4 keyframes)."""
     Z = covisibility.observation_indicator(m)
     obs = jnp.sum(Z, axis=0)                                # [P]
-    ratio_bad = (m.pt_visible >= 4) & \
+    age = cur_kf - m.pt_ref_kf
+    recent = (m.pt_ref_kf >= 0) & (age >= 0) & (age <= 3)
+    ratio_bad = recent & (m.pt_visible >= 4) & \
         (m.pt_found.astype(jnp.float32)
          < 0.25 * m.pt_visible.astype(jnp.float32))
-    young_weak = ((cur_kf - m.pt_ref_kf >= 2) & (obs < 3)
-                  & (m.pt_ref_kf >= 0))
-    # points with zero observations are dead regardless
+    young_weak = recent & (age >= 2) & (obs < 3)
+    # points with zero observations are dead regardless of age
     orphan = obs < 1
     cull = m.pt_valid & (ratio_bad | young_weak | orphan)
     return m._replace(pt_valid=m.pt_valid & (~cull))
@@ -288,20 +300,43 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     kf_idx, sel_valid, fixed, local_pts = _select_window(
         m, kf_slot, n_local, n_fixed)
 
-    obs_pt = m.kf_pt_idx[kf_idx]
-    pt_ok = m.pt_valid[jnp.clip(obs_pt, 0, None)] & (obs_pt >= 0)
-    prob = ba.BAProblem(
+    # ---- window compaction (on-device): local BA runs on a compact
+    # [Pw] point table and a compact [E] edge list instead of the full
+    # [P] table / dense [C, N] slots — ~4x fewer scatter rows, ~16x
+    # smaller Schur scatter targets (the round-1 274 ms/KF hotspot) ----
+    N = m.kf_pt_idx.shape[1]
+    C = kf_idx.shape[0]
+    Pw = min(cfg.capacity.max_local_ba_points, m.max_pt)
+    E = min(cfg.capacity.max_local_ba_obs, C * N)
+    sel = m.pt_valid & local_pts                              # [P]
+    widx = jnp.argsort(~sel, stable=True)[:Pw]                # [Pw]
+    wvalid = sel[widx]
+    lut = jnp.full((m.max_pt,), -1, jnp.int32).at[
+        jnp.where(wvalid, widx, m.max_pt)].set(
+        jnp.arange(Pw, dtype=jnp.int32), mode="drop")
+
+    obs_pt_dense = m.kf_pt_idx[kf_idx]                        # [C, N]
+    pid_w = lut[jnp.clip(obs_pt_dense, 0, None)]
+    obs_ok = (m.kf_kp_valid[kf_idx] & (obs_pt_dense >= 0) & (pid_w >= 0)
+              & (sel_valid & m.kf_valid[kf_idx])[:, None])
+    flat_ok = obs_ok.reshape(-1)
+    eidx = jnp.argsort(~flat_ok, stable=True)[:E]             # [E]
+    e_ok = flat_ok[eidx]
+    e_cam = (eidx // N).astype(jnp.int32)
+    e_slot = (eidx % N).astype(jnp.int32)
+    lvl = m.kf_kp_level[kf_idx].reshape(-1)[eidx].astype(jnp.float32)
+    prob = ba.BACooProblem(
         cam_pose=m.kf_pose[kf_idx],
         cam_valid=sel_valid & m.kf_valid[kf_idx],
         cam_fixed=fixed,
-        pt_xyz=m.pt_xyz,
-        pt_valid=m.pt_valid & local_pts,
-        obs_pt=obs_pt,
-        obs_uv=m.kf_kp_uv[kf_idx],
-        obs_ur=m.kf_kp_uright[kf_idx],
-        obs_inv_sigma2=cfg.orb.scale_factor ** (
-            -2.0 * m.kf_kp_level[kf_idx].astype(jnp.float32)),
-        obs_valid=m.kf_kp_valid[kf_idx] & pt_ok,
+        pt_xyz=m.pt_xyz[widx],
+        pt_valid=wvalid,
+        obs_cam=e_cam,
+        obs_pt=jnp.where(e_ok, pid_w.reshape(-1)[eidx], -1),
+        obs_uv=m.kf_kp_uv[kf_idx].reshape(-1, 2)[eidx],
+        obs_ur=m.kf_kp_uright[kf_idx].reshape(-1)[eidx],
+        obs_inv_sigma2=cfg.orb.scale_factor ** (-2.0 * lvl),
+        obs_valid=e_ok,
     )
     plane_block = None
     if cfg.use_planes:
@@ -312,26 +347,23 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
             & sel_valid[:, None]
         plane_block = (m.pl_coeff[jnp.clip(pl_idx, 0, None)],
                        m.kf_pl_coeff[kf_idx], pl_ok)
-    res = ba.bundle_adjust(prob, plane_block, cam=cam5, cfg=cfg.solver,
-                           n_iters1=cfg.solver.local_ba_iters_first,
-                           n_iters2=cfg.solver.local_ba_iters_second,
-                           pt_chunk=2048)
+    res = ba.bundle_adjust_coo(prob, plane_block, cam=cam5, cfg=cfg.solver,
+                               n_iters1=cfg.solver.local_ba_iters_first,
+                               n_iters2=cfg.solver.local_ba_iters_second)
 
     # scatter optimized poses back (only updated, valid, non-fixed slots)
     upd = sel_valid & (~fixed)
     tgt = jnp.where(upd, kf_idx, m.max_kf)
+    pt_tgt = jnp.where(wvalid, widx, m.max_pt)
     m = m._replace(
         kf_pose=m.kf_pose.at[tgt].set(res.cam_pose, mode="drop"),
-        pt_xyz=jnp.where((m.pt_valid & local_pts)[:, None],
-                         res.pt_xyz, m.pt_xyz))
+        pt_xyz=m.pt_xyz.at[pt_tgt].set(res.pt_xyz, mode="drop"))
 
     # remove outlier observations from the window keyframes
-    was_obs = prob.obs_valid
-    clear = was_obs & (~res.obs_inlier)
-    new_rows = jnp.where(clear, -1, obs_pt)
-    tgt_rows = jnp.where(sel_valid, kf_idx, m.max_kf)
-    m = m._replace(kf_pt_idx=m.kf_pt_idx.at[tgt_rows].set(
-        new_rows, mode="drop"))
+    clear = e_ok & (~res.obs_inlier)
+    tgt_r = jnp.where(clear, kf_idx[e_cam], m.max_kf)
+    m = m._replace(kf_pt_idx=m.kf_pt_idx.at[tgt_r, e_slot].set(
+        -1, mode="drop"))
 
     from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
     m = refresh_obs_ind(m)       # outlier removal edited kf_pt_idx

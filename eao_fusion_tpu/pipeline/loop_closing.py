@@ -495,11 +495,24 @@ class LoopCloser:
                 pl_coeff=m.pl_coeff, pl_free=m.pl_valid,
                 obs_pl=jnp.where(pl_ok, pl_idx, -1),
                 obs_meas=m.kf_pl_coeff, obs_valid=pl_ok)
-        res = ba.bundle_adjust(prob, plane_free=plane_free,
-                               cam=cam5, cfg=cfg.solver,
-                               n_iters1=cfg.solver.global_ba_iters // 2,
-                               n_iters2=cfg.solver.global_ba_iters // 2,
-                               pt_chunk=2048)
+        n_dist = cfg.gba_mesh_devices
+        if (n_dist > 1 and len(jax.devices()) >= n_dist
+                and m.pt_xyz.shape[0] % n_dist == 0):
+            # observation-sharded distributed GBA over the ``lm`` mesh:
+            # per-device compute ~1/n, camera system psum-reduced
+            from eao_fusion_tpu.parallel import dist_ba, mesh as mesh_util
+            lm_mesh = mesh_util.make_mesh(n_landmark=n_dist)
+            res = dist_ba.distributed_bundle_adjust(
+                prob, lm_mesh, plane_free=plane_free,
+                cam=cam5, cfg=cfg.solver,
+                n_iters1=cfg.solver.global_ba_iters // 2,
+                n_iters=cfg.solver.global_ba_iters // 2)
+        else:
+            res = ba.bundle_adjust(prob, plane_free=plane_free,
+                                   cam=cam5, cfg=cfg.solver,
+                                   n_iters1=cfg.solver.global_ba_iters // 2,
+                                   n_iters2=cfg.solver.global_ba_iters // 2,
+                                   pt_chunk=2048)
         poses = jnp.where(m.kf_valid[:, None], res.cam_pose, m.kf_pose)
         pts = jnp.where(m.pt_valid[:, None], res.pt_xyz, m.pt_xyz)
         m = m._replace(kf_pose=poses, pt_xyz=pts)

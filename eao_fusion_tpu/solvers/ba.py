@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from eao_fusion_tpu.config import SolverConfig
 from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.ops.precision import f32_matmuls
 
 
 class BAProblem(NamedTuple):
@@ -272,6 +273,7 @@ def _weights(r, stereo, behind, prob, active, cfg: SolverConfig):
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
                                              "n_iters2", "pt_chunk"))
+@f32_matmuls
 def bundle_adjust(prob: BAProblem, plane_block=None, *,
                   plane_free: Optional[PlaneFreeBlock] = None,
                   cam: Tuple[float, ...],
@@ -491,25 +493,28 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         robustified chi2 decreases; otherwise raise the damping (the g2o
         behavior the reference relies on, `src/Optimizer.cc:965-1007`).
         Early-exits on relative cost convergence — g2o's own termination —
-        which typically ends local BA in 3-5 iterations."""
+        which typically ends local BA in 3-5 iterations. The current cost
+        is CARRIED (one chi2 evaluation per iteration, not two)."""
         def cond(carry):
-            _, _, it, done = carry
+            _, _, it, done, _ = carry
             return (it < iters) & (~done)
 
         def body(carry):
-            st, lam, it, _ = carry
+            st, lam, it, _, c_cur = carry
             cand = gn_iter(st, active, lam)
-            c_old = total_chi2(*st, active)
             c_new = total_chi2(*cand, active)
-            accept = (c_new < c_old) & jnp.isfinite(c_new)
+            accept = (c_new < c_cur) & jnp.isfinite(c_new)
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, cand)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
                             jnp.minimum(lam * 5.0, 1e3))
-            done = accept & (c_old - c_new < 1e-4 * jnp.maximum(c_old, 1e-9))
-            return (st, lam, it + 1, done)
+            done = accept & (c_cur - c_new < 1e-4 * jnp.maximum(c_cur, 1e-9))
+            c_cur = jnp.where(accept, c_new, c_cur)
+            return (st, lam, it + 1, done, c_cur)
 
-        state, _, _, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.float32(damping), 0, jnp.bool_(False)))
+        c0 = total_chi2(*state, active)
+        state, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.float32(damping), 0, jnp.bool_(False),
+                         c0))
         return state
 
     state = (prob.cam_pose, prob.pt_xyz, pl0)
@@ -530,3 +535,195 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
     return BAResult(cam_pose=state[0], pt_xyz=state[1],
                     obs_inlier=inlier, chi2=total,
                     pl_coeff=state[2] if plane_free is not None else None)
+
+
+# --------------------------------------------------------------------------
+# COO-layout bundle adjustment: the local-BA fast path.
+#
+# The dense [C, N] observation layout above carries every keypoint slot of
+# every window keyframe through every LM iteration; at local-BA rate that is
+# mostly padding (half the slots are untracked) over a point table that is
+# mostly out-of-window. Here observations are a compacted edge list [E] over
+# a window-compacted point table [Pw] — same math, same LM schedule, same
+# two-phase outlier gate, ~4x fewer scatter rows and ~16x smaller Schur
+# scatter targets. pipeline/local_mapping.py builds the compact problem
+# on-device (argsort compaction — no host round-trip).
+# --------------------------------------------------------------------------
+
+
+class BACooProblem(NamedTuple):
+    cam_pose: jax.Array    # [C, 7] Tcw
+    cam_valid: jax.Array   # [C] bool
+    cam_fixed: jax.Array   # [C] bool
+    pt_xyz: jax.Array      # [Pw, 3] window-compacted points
+    pt_valid: jax.Array    # [Pw] bool
+    obs_cam: jax.Array     # [E] int32 camera index
+    obs_pt: jax.Array      # [E] int32 window-local point index
+    obs_uv: jax.Array      # [E, 2]
+    obs_ur: jax.Array      # [E] virtual right u, <0 = mono
+    obs_inv_sigma2: jax.Array  # [E]
+    obs_valid: jax.Array   # [E] bool
+
+
+def _residuals_coo(cam_pose, pt_xyz, prob: "BACooProblem", cam):
+    """Per-edge residuals r [E,3] and Jacobians J_c [E,3,6], J_p [E,3,3]."""
+    fx, fy, cx, cy, bf = cam
+    pw = pt_xyz[prob.obs_pt]                        # [E, 3]
+    poses = cam_pose[prob.obs_cam]                  # [E, 7]
+    R = lie.quat_to_rotmat(poses[:, :4])            # [E, 3, 3]
+    xc = jnp.einsum("eij,ej->ei", R, pw) + poses[:, 4:7]
+    x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
+    z = jnp.maximum(z, 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    urr = u - bf * iz
+    stereo = prob.obs_ur >= 0.0
+    r = jnp.stack([prob.obs_uv[:, 0] - u, prob.obs_uv[:, 1] - v,
+                   jnp.where(stereo, prob.obs_ur - urr, 0.0)], axis=-1)
+    zero = jnp.zeros_like(z)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1)
+    dur = du + jnp.stack([zero, zero, bf * iz2], axis=-1)
+    dproj = jnp.stack([du, dv, jnp.where(stereo[:, None], dur, 0.0)],
+                      axis=-2)                      # [E,3,3]
+    dxc = jnp.concatenate([-lie.so3_hat(xc), jnp.broadcast_to(
+        jnp.eye(3, dtype=xc.dtype), xc.shape + (3,))], axis=-1)  # [E,3,6]
+    J_c = -jnp.einsum("eij,ejk->eik", dproj, dxc)
+    J_p = -jnp.einsum("eij,ejk->eik", dproj, R)
+    behind = xc[:, 2] < 1e-3
+    return r, J_c, J_p, stereo, behind
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
+                                             "n_iters2"))
+@f32_matmuls
+def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
+                      cam: Tuple[float, ...], cfg: SolverConfig,
+                      n_iters1: int = 5, n_iters2: int = 10,
+                      damping: float = 1e-3) -> BAResult:
+    """Two-phase LM BA on the COO layout. `plane_block` =
+    (plane_w [C,F,4], meas_c [C,F,4], valid [C,F]) adds fixed-plane camera
+    factors as in `bundle_adjust`. Returns BAResult with obs_inlier [E]."""
+    C = prob.cam_pose.shape[0]
+    Pw = prob.pt_xyz.shape[0]
+    E = prob.obs_cam.shape[0]
+    free_cam = (prob.cam_valid & (~prob.cam_fixed)).astype(jnp.float32)
+    obs_ok0 = prob.obs_valid & (prob.obs_pt >= 0) \
+        & prob.cam_valid[prob.obs_cam]
+
+    def robust_chi2(cam_pose, pt_xyz, active):
+        r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
+        c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+        delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        c2r = jnp.where(c2 <= delta2, c2,
+                        2.0 * jnp.sqrt(delta2 * c2) - delta2)
+        w = active.astype(jnp.float32) * (1.0 - behind.astype(jnp.float32))
+        total = jnp.sum(c2r * w)
+        if plane_block is not None:
+            total = total + _plane_terms(cam_pose, *plane_block, cfg)[-1]
+        return total
+
+    def gn_iter(cam_pose, pt_xyz, active, lam):
+        r, J_c, J_p, stereo, behind = _residuals_coo(cam_pose, pt_xyz,
+                                                     prob, cam)
+        c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+        delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        w_rob = jnp.minimum(1.0, jnp.sqrt(delta2 / jnp.maximum(c2, 1e-12)))
+        w = (prob.obs_inv_sigma2 * w_rob * active.astype(jnp.float32)
+             * (1.0 - behind.astype(jnp.float32)))
+        w_c = w * free_cam[prob.obs_cam]
+
+        Hcc = jnp.zeros((C, 6, 6), jnp.float32).at[prob.obs_cam].add(
+            jnp.einsum("eri,e,erj->eij", J_c, w_c, J_c))
+        bc = -jnp.zeros((C, 6), jnp.float32).at[prob.obs_cam].add(
+            jnp.einsum("eri,e,er->ei", J_c, w_c, r))
+        if plane_block is not None:
+            Hp, bp_c, _ = _plane_terms(cam_pose, *plane_block, cfg)
+            Hcc = Hcc + Hp * free_cam[:, None, None]
+            bc = bc + bp_c * free_cam[:, None]
+
+        tgt = jnp.where(active, prob.obs_pt, Pw)
+        Hpp = jnp.zeros((Pw + 1, 3, 3), jnp.float32).at[tgt].add(
+            jnp.einsum("eri,e,erj->eij", J_p, w, J_p))[:Pw]
+        bp = -jnp.zeros((Pw + 1, 3), jnp.float32).at[tgt].add(
+            jnp.einsum("eri,e,er->ei", J_p, w, r))[:Pw]
+        Hpp = Hpp + (lam + 1e-6) * jnp.eye(3, dtype=jnp.float32)
+        Hpp_inv = jnp.where(prob.pt_valid[:, None, None], _inv3x3(Hpp), 0.0)
+
+        # A = Hcp: each (cam, point) target is touched by at most one edge
+        # per camera, so indices are unique per (c, p) — one scatter of E
+        # [6,3] rows into the compact [C, Pw] grid
+        Y = jnp.einsum("eri,e,erj->eij", J_c, w_c, J_p)       # [E,6,3]
+        A = jnp.zeros((C, Pw + 1, 6, 3), jnp.float32).at[
+            prob.obs_cam, tgt].add(Y)[:, :Pw]
+        AH = jnp.einsum("cpij,pjk->cpik", A, Hpp_inv)
+        AH2 = AH.transpose(0, 2, 1, 3).reshape(C * 6, Pw * 3)
+        A2 = A.transpose(0, 2, 1, 3).reshape(C * 6, Pw * 3)
+        S = -jnp.dot(AH2, A2.T, preferred_element_type=jnp.float32
+                     ).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+        rhs = bc - (AH2 @ bp.reshape(-1)).reshape(C, 6)
+
+        S = S * free_cam[:, None, None, None] * free_cam[None, :, None, None]
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.eye(6) * ((1.0 - free_cam)[:, None, None])
+            + jnp.eye(6) * lam)
+        rhs = rhs * free_cam[:, None]
+        M = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+        delta_c = jnp.linalg.solve(M, rhs.reshape(-1)).reshape(C, 6)
+        good = jnp.all(jnp.isfinite(delta_c))
+        delta_c = jnp.where(good, delta_c, 0.0)
+
+        t = bp - jnp.einsum("cpij,ci->pj", A, delta_c)
+        delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, t)
+        delta_p = jnp.clip(jnp.where(good & prob.pt_valid[:, None],
+                                     delta_p, 0.0), -10.0, 10.0)
+        return (jax.vmap(lie.se3_retract)(cam_pose, delta_c),
+                pt_xyz + delta_p)
+
+    def run_phase(cam_pose, pt_xyz, active, iters):
+        """LM accept/reject with the current cost CARRIED (one chi2
+        evaluation per iteration, not two — c_old is c_new of the last
+        accepted step)."""
+        def cond(carry):
+            _, _, _, it, done, _ = carry
+            return (it < iters) & (~done)
+
+        def body(carry):
+            cp, ps, lam, it, _, c_cur = carry
+            cp2, ps2 = gn_iter(cp, ps, active, lam)
+            c_new = robust_chi2(cp2, ps2, active)
+            accept = (c_new < c_cur) & jnp.isfinite(c_new)
+            cp = jnp.where(accept, cp2, cp)
+            ps = jnp.where(accept, ps2, ps)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
+                            jnp.minimum(lam * 5.0, 1e3))
+            done = accept & (c_cur - c_new
+                             < 1e-4 * jnp.maximum(c_cur, 1e-9))
+            c_cur = jnp.where(accept, c_new, c_cur)
+            return (cp, ps, lam, it + 1, done, c_cur)
+
+        c0 = robust_chi2(cam_pose, pt_xyz, active)
+        cp, ps, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (cam_pose, pt_xyz, jnp.float32(damping), 0,
+                         jnp.bool_(False), c0))
+        return cp, ps
+
+    cam_pose, pt_xyz = run_phase(prob.cam_pose, prob.pt_xyz, obs_ok0,
+                                 n_iters1)
+
+    r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    thr = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    inlier = obs_ok0 & (chi2 <= thr) & (~behind)
+
+    cam_pose, pt_xyz = run_phase(cam_pose, pt_xyz, inlier, n_iters2)
+
+    r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    inlier = obs_ok0 & (chi2 <= thr) & (~behind)
+    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return BAResult(cam_pose=cam_pose, pt_xyz=pt_xyz,
+                    obs_inlier=inlier, chi2=total)

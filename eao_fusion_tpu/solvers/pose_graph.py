@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.ops.precision import f32_matmuls
 
 
 class PoseGraphProblem(NamedTuple):
@@ -37,6 +38,7 @@ def _edge_residual(si, sj, meas):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+@f32_matmuls
 def optimize_pose_graph(prob: PoseGraphProblem, *, n_iters: int = 20,
                         fix_scale: bool = True, damping: float = 1e-4
                         ) -> jax.Array:

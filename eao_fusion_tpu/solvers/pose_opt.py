@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from eao_fusion_tpu.config import SolverConfig
 from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.ops.precision import f32_matmuls
 
 
 class PoseObs(NamedTuple):
@@ -124,6 +125,7 @@ def _plane_residual_jac(pose, pobs: PlaneObs):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@f32_matmuls
 def optimize_pose(pose0: jax.Array, obs: PoseObs,
                   plane_obs: Optional[PlaneObs] = None,
                   *, cam: Tuple[float, float, float, float, float],

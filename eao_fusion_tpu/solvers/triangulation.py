@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.ops.precision import f32_matmuls
 
 
 def triangulate_dlt(tcw1: jax.Array, tcw2: jax.Array, xn1: jax.Array,
@@ -44,6 +45,7 @@ class TriangulationResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
+@f32_matmuls
 def triangulate_checked(tcw1: jax.Array, tcw2: jax.Array, uv1: jax.Array,
                         uv2: jax.Array, valid: jax.Array,
                         inv_sigma2_1: jax.Array, inv_sigma2_2: jax.Array,
