@@ -297,11 +297,11 @@ def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh, *,
             the cost reduced over the mesh so all devices branch
             identically."""
             def cond(carry):
-                _, _, _, _, it, done = carry
-                return (it < iters) & (~done)
+                _, _, _, _, it, stall = carry
+                return (it < iters) & (stall < 2)
 
             def body(carry):
-                cp, ps, pl, lam, it, _ = carry
+                cp, ps, pl, lam, it, stall = carry
                 cp2, ps2, pl2 = gn_iter(cp, ps, pl, active, lam)
                 c_old = robust_chi2(cp, ps, pl, active)
                 c_new = robust_chi2(cp2, ps2, pl2, active)
@@ -311,14 +311,18 @@ def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh, *,
                 pl = jnp.where(accept, pl2, pl)
                 lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
                                 jnp.minimum(lam * 5.0, 1e3))
-                done = accept & (c_old - c_new
-                                 < 1e-4 * jnp.maximum(c_old, 1e-9))
-                return (cp, ps, pl, lam, it + 1, done)
+                improved = accept & (c_old - c_new
+                                     >= 1e-4 * jnp.maximum(c_old, 1e-9))
+                # count non-improving iterations (incl. rejected steps) so
+                # converged problems exit instead of burning the budget;
+                # the chi2 is psum-reduced so all devices branch the same
+                stall = jnp.where(improved, 0, stall + 1)
+                return (cp, ps, pl, lam, it + 1, stall)
 
             cp, ps, pl, _, _, _ = jax.lax.while_loop(
                 cond, body,
                 (cam_pose, pt_s, pl, jnp.float32(damping), 0,
-                 jnp.bool_(False)))
+                 jnp.int32(0)))
             return cp, ps, pl
 
         active = o.valid

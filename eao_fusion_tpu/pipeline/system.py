@@ -75,6 +75,7 @@ class System:
             self.loop_closer = LoopCloser(self.cfg, vocab)
         self.n_loops_closed = 0
         self.n_relocalizations = 0
+        self.n_resets = 0          # auto-resets on early tracking loss
         # online detector lane (`SemanticOnline`: the reference's YOLOX
         # thread, `src/System.cc:112-114`); offline box files are passed
         # straight to process_frame instead
@@ -200,6 +201,7 @@ class System:
                 and not loc_only
                 and self.n_keyframes
                 <= cfg.tracking.reset_if_lost_below_kfs):
+            self.n_resets += 1
             self.reset()
             self._record(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
                          timestamp)

@@ -257,7 +257,9 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
         last_kf_frame_id=ts.last_kf_frame_id)
     diag = {"n_mm": n_mm, "n_inliers": n_in, "need_kf": need_kf,
             "n_local_pts": jnp.sum(cand.astype(jnp.int32)),
-            "n_kf_local": jnp.sum(kf_local.astype(jnp.int32))}
+            "n_kf_local": jnp.sum(kf_local.astype(jnp.int32)),
+            "n_ref": n_ref, "tracked_close": tracked_close,
+            "untracked_close": untracked_close}
     if plane_assoc is not None:
         diag["n_planes_matched"] = jnp.sum((plane_assoc >= 0).astype(jnp.int32))
         diag["plane_assoc"] = plane_assoc

@@ -496,24 +496,28 @@ def bundle_adjust(prob: BAProblem, plane_block=None, *,
         which typically ends local BA in 3-5 iterations. The current cost
         is CARRIED (one chi2 evaluation per iteration, not two)."""
         def cond(carry):
-            _, _, it, done, _ = carry
-            return (it < iters) & (~done)
+            _, _, it, stall, _ = carry
+            return (it < iters) & (stall < 2)
 
         def body(carry):
-            st, lam, it, _, c_cur = carry
+            st, lam, it, stall, c_cur = carry
             cand = gn_iter(st, active, lam)
             c_new = total_chi2(*cand, active)
             accept = (c_new < c_cur) & jnp.isfinite(c_new)
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, cand)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
                             jnp.minimum(lam * 5.0, 1e3))
-            done = accept & (c_cur - c_new < 1e-4 * jnp.maximum(c_cur, 1e-9))
+            improved = accept & (c_cur - c_new
+                                 >= 1e-4 * jnp.maximum(c_cur, 1e-9))
+            # two consecutive non-improving iterations (incl. rejected
+            # steps — a converged window rejects everything) end the phase
+            stall = jnp.where(improved, 0, stall + 1)
             c_cur = jnp.where(accept, c_new, c_cur)
-            return (st, lam, it + 1, done, c_cur)
+            return (st, lam, it + 1, stall, c_cur)
 
         c0 = total_chi2(*state, active)
         state, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.float32(damping), 0, jnp.bool_(False),
+            cond, body, (state, jnp.float32(damping), 0, jnp.int32(0),
                          c0))
         return state
 
@@ -613,6 +617,26 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
     obs_ok0 = prob.obs_valid & (prob.obs_pt >= 0) \
         & prob.cam_valid[prob.obs_cam]
 
+    # ---- TPU scatter elimination: the Hcc/Hpp/Hcp accumulations are
+    # scatter-adds over E edges, which XLA serializes on TPU (measured
+    # ~7 ms/LM-iteration at E=16k). Each (cam, point) pair carries at
+    # most one edge, so a [C, Pw] edge-index LUT built ONCE per call
+    # turns every in-loop accumulation into vectorized gathers (Hpp, A)
+    # or small one-hot matmuls on the MXU (Hcc, bc). Duplicate (c, p)
+    # edges (transient after fusion) resolve to one edge — the reference
+    # never has duplicate (KF, point) observations at all. ----
+    tgt0 = jnp.where(obs_ok0, prob.obs_pt, Pw)
+    lut = jnp.full((C, Pw + 1), E, jnp.int32).at[
+        prob.obs_cam, tgt0].set(jnp.arange(E, dtype=jnp.int32),
+                                mode="drop")[:, :Pw]        # [C, Pw]
+    cam_onehot = (prob.obs_cam[None, :]
+                  == jnp.arange(C, dtype=jnp.int32)[:, None]
+                  ).astype(jnp.float32)                     # [C, E]
+
+    def _pad_e(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+
     def robust_chi2(cam_pose, pt_xyz, active):
         r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
         c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
@@ -635,29 +659,32 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
              * (1.0 - behind.astype(jnp.float32)))
         w_c = w * free_cam[prob.obs_cam]
 
-        Hcc = jnp.zeros((C, 6, 6), jnp.float32).at[prob.obs_cam].add(
-            jnp.einsum("eri,e,erj->eij", J_c, w_c, J_c))
-        bc = -jnp.zeros((C, 6), jnp.float32).at[prob.obs_cam].add(
-            jnp.einsum("eri,e,er->ei", J_c, w_c, r))
+        # Hcc/bc: one-hot matmuls on the MXU ([C, E] @ [E, ...])
+        Hcc = jnp.einsum(
+            "ce,eij->cij", cam_onehot,
+            jnp.einsum("eri,e,erj->eij", J_c, w_c, J_c),
+            preferred_element_type=jnp.float32)
+        bc = -jnp.einsum(
+            "ce,ei->ci", cam_onehot,
+            jnp.einsum("eri,e,er->ei", J_c, w_c, r),
+            preferred_element_type=jnp.float32)
         if plane_block is not None:
             Hp, bp_c, _ = _plane_terms(cam_pose, *plane_block, cfg)
             Hcc = Hcc + Hp * free_cam[:, None, None]
             bc = bc + bp_c * free_cam[:, None]
 
-        tgt = jnp.where(active, prob.obs_pt, Pw)
-        Hpp = jnp.zeros((Pw + 1, 3, 3), jnp.float32).at[tgt].add(
-            jnp.einsum("eri,e,erj->eij", J_p, w, J_p))[:Pw]
-        bp = -jnp.zeros((Pw + 1, 3), jnp.float32).at[tgt].add(
-            jnp.einsum("eri,e,er->ei", J_p, w, r))[:Pw]
+        # Hpp/bp: gather per-edge blocks through the [C, Pw] LUT and
+        # reduce over the camera axis (edges outside `active` have w=0)
+        Gp = _pad_e(jnp.einsum("eri,e,erj->eij", J_p, w, J_p))  # [E+1,3,3]
+        gp = _pad_e(jnp.einsum("eri,e,er->ei", J_p, w, r))      # [E+1,3]
+        Hpp = jnp.sum(Gp[lut], axis=0)                          # [Pw,3,3]
+        bp = -jnp.sum(gp[lut], axis=0)                          # [Pw,3]
         Hpp = Hpp + (lam + 1e-6) * jnp.eye(3, dtype=jnp.float32)
         Hpp_inv = jnp.where(prob.pt_valid[:, None, None], _inv3x3(Hpp), 0.0)
 
-        # A = Hcp: each (cam, point) target is touched by at most one edge
-        # per camera, so indices are unique per (c, p) — one scatter of E
-        # [6,3] rows into the compact [C, Pw] grid
-        Y = jnp.einsum("eri,e,erj->eij", J_c, w_c, J_p)       # [E,6,3]
-        A = jnp.zeros((C, Pw + 1, 6, 3), jnp.float32).at[
-            prob.obs_cam, tgt].add(Y)[:, :Pw]
+        # A = Hcp, gathered (not scattered) into the dense [C, Pw] grid
+        Y = jnp.einsum("eri,e,erj->eij", J_c, w_c, J_p)         # [E,6,3]
+        A = _pad_e(Y)[lut]                                      # [C,Pw,6,3]
         AH = jnp.einsum("cpij,pjk->cpik", A, Hpp_inv)
         AH2 = AH.transpose(0, 2, 1, 3).reshape(C * 6, Pw * 3)
         A2 = A.transpose(0, 2, 1, 3).reshape(C * 6, Pw * 3)
@@ -686,13 +713,18 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
     def run_phase(cam_pose, pt_xyz, active, iters):
         """LM accept/reject with the current cost CARRIED (one chi2
         evaluation per iteration, not two — c_old is c_new of the last
-        accepted step)."""
+        accepted step). Terminates after two consecutive iterations
+        without meaningful improvement — including REJECTED steps: a
+        converged window rejects every step (any move worsens chi2), and
+        without counting rejections the loop burns the full iteration
+        budget at ~7 ms/iteration on a v5e (g2o's equivalent exit is the
+        lambda blow-up bound)."""
         def cond(carry):
-            _, _, _, it, done, _ = carry
-            return (it < iters) & (~done)
+            _, _, _, it, stall, _ = carry
+            return (it < iters) & (stall < 2)
 
         def body(carry):
-            cp, ps, lam, it, _, c_cur = carry
+            cp, ps, lam, it, stall, c_cur = carry
             cp2, ps2 = gn_iter(cp, ps, active, lam)
             c_new = robust_chi2(cp2, ps2, active)
             accept = (c_new < c_cur) & jnp.isfinite(c_new)
@@ -700,15 +732,16 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
             ps = jnp.where(accept, ps2, ps)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
                             jnp.minimum(lam * 5.0, 1e3))
-            done = accept & (c_cur - c_new
-                             < 1e-4 * jnp.maximum(c_cur, 1e-9))
+            improved = accept & (c_cur - c_new
+                                 >= 1e-4 * jnp.maximum(c_cur, 1e-9))
+            stall = jnp.where(improved, 0, stall + 1)
             c_cur = jnp.where(accept, c_new, c_cur)
-            return (cp, ps, lam, it + 1, done, c_cur)
+            return (cp, ps, lam, it + 1, stall, c_cur)
 
         c0 = robust_chi2(cam_pose, pt_xyz, active)
         cp, ps, _, _, _, _ = jax.lax.while_loop(
             cond, body, (cam_pose, pt_xyz, jnp.float32(damping), 0,
-                         jnp.bool_(False), c0))
+                         jnp.int32(0), c0))
         return cp, ps
 
     cam_pose, pt_xyz = run_phase(prob.cam_pose, prob.pt_xyz, obs_ok0,

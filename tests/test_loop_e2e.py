@@ -5,7 +5,8 @@ correction must run without corrupting the map."""
 import numpy as np
 import pytest
 
-from eao_fusion_tpu.config import SystemConfig, ORBConfig, MapCapacity
+from eao_fusion_tpu.config import (CameraConfig, MapCapacity, ORBConfig,
+                                   SystemConfig)
 from eao_fusion_tpu.io import synthetic, tum
 from eao_fusion_tpu.pipeline.system import System
 
@@ -18,6 +19,13 @@ def test_loop_closes_with_planes():
     sequence must trigger detection + Sim3 + correction with planes ON, and
     the keyframe-corrected trajectory must beat the raw odometry ATE."""
     cfg = SystemConfig(
+        # the synthetic room's walls sit beyond the D435i default close
+        # threshold (th_depth=40 -> 3.0 m), which silently disables the
+        # RGBD close-point keyframe trigger during the fast spin and
+        # starves insertion (measured: n_ref=8, untracked_close 23-67 at
+        # the collapse). The reference tunes ThDepth per dataset (KITTI's
+        # equivalent is ~19 m); 70 -> 5.2 m matches this room's scale.
+        camera=CameraConfig(th_depth=70.0),
         orb=ORBConfig(n_features=500, max_keypoints=512),
         capacity=MapCapacity(max_keyframes=64, max_points=8192),
         use_planes=True, use_objects=False)
