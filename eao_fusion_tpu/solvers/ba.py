@@ -632,6 +632,13 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
     cam_onehot = (prob.obs_cam[None, :]
                   == jnp.arange(C, dtype=jnp.int32)[:, None]
                   ).astype(jnp.float32)                     # [C, E]
+    # point one-hot [Pw, E]: Hpp/bp assembly as ONE MXU matmul instead of
+    # the [C, Pw]-row LUT gather (measured 1.95 ms/LM-iteration at
+    # Pw=4096/E=16k — gathers on TPU pay per index row, matmuls don't).
+    # Built once per call; ~270 MB f32 in HBM, read once per iteration
+    # (~0.35 ms at HBM bandwidth).
+    pt_onehot = (tgt0[None, :] == jnp.arange(Pw, dtype=jnp.int32)[:, None]
+                 ).astype(jnp.float32)                      # [Pw, E]
 
     def _pad_e(x):
         return jnp.concatenate(
@@ -673,12 +680,16 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
             Hcc = Hcc + Hp * free_cam[:, None, None]
             bc = bc + bp_c * free_cam[:, None]
 
-        # Hpp/bp: gather per-edge blocks through the [C, Pw] LUT and
-        # reduce over the camera axis (edges outside `active` have w=0)
-        Gp = _pad_e(jnp.einsum("eri,e,erj->eij", J_p, w, J_p))  # [E+1,3,3]
-        gp = _pad_e(jnp.einsum("eri,e,er->ei", J_p, w, r))      # [E+1,3]
-        Hpp = jnp.sum(Gp[lut], axis=0)                          # [Pw,3,3]
-        bp = -jnp.sum(gp[lut], axis=0)                          # [Pw,3]
+        # Hpp/bp: per-edge blocks reduced into point bins by the [Pw, E]
+        # one-hot on the MXU (edges outside `active` have w=0)
+        Gp_e = jnp.einsum("eri,e,erj->eij", J_p, w, J_p)        # [E,3,3]
+        gp_e = jnp.einsum("eri,e,er->ei", J_p, w, r)            # [E,3]
+        packed = jnp.concatenate(
+            [Gp_e.reshape(E, 9), gp_e], axis=-1)                # [E,12]
+        acc = jnp.dot(pt_onehot, packed,
+                      preferred_element_type=jnp.float32)       # [Pw,12]
+        Hpp = acc[:, :9].reshape(Pw, 3, 3)
+        bp = -acc[:, 9:]
         Hpp = Hpp + (lam + 1e-6) * jnp.eye(3, dtype=jnp.float32)
         Hpp_inv = jnp.where(prob.pt_valid[:, None, None], _inv3x3(Hpp), 0.0)
 
