@@ -225,10 +225,14 @@ class MapCapacity:
     # Per-keyframe keypoint slots == ORBConfig.max_keypoints.
     # Local BA capacities: the window problem is compacted to these shapes
     # (edge list [max_local_ba_obs], point table [max_local_ba_points]);
-    # overflow observations/points are excluded from that BA call.
-    max_local_ba_obs: int = 16384
+    # overflow observations/points are excluded from that BA call (they
+    # stay in the map, just not optimized THIS keyframe). Sized ~2-3x the
+    # measured window occupancy of a 32-KF local window (~3k edges) —
+    # every LM iteration's big tensors ([Pw, E] one-hot, [C, Pw] A-grid)
+    # scale with these, so padding here is pure per-keyframe cost.
+    max_local_ba_obs: int = 8192
     max_local_ba_kfs: int = 32
-    max_local_ba_points: int = 4096
+    max_local_ba_points: int = 2048
 
 
 @dataclass(frozen=True)

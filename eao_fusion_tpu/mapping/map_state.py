@@ -204,20 +204,67 @@ def create_points_from_depth(m: MapState, kf_slot: jax.Array,
     max_d = dist * (scale_factor ** lvl) * scale_factor
     min_d = max_d / (scale_factor ** n_levels)
 
-    tgt = jnp.where(make, new_ids, m.max_pt)  # drop-mode sink
+    if m.max_pt < n:
+        # tiny test maps: plain scatter (the slice-block fast path below
+        # needs a full [N]-row window inside the table)
+        tgt = jnp.where(make, new_ids, m.max_pt)
+        m = m._replace(
+            pt_xyz=m.pt_xyz.at[tgt].set(xw, mode="drop"),
+            pt_valid=m.pt_valid.at[tgt].set(True, mode="drop"),
+            pt_desc_pm1=m.pt_desc_pm1.at[tgt].set(feats.desc_pm1,
+                                                  mode="drop"),
+            pt_normal=m.pt_normal.at[tgt].set(normal, mode="drop"),
+            pt_min_dist=m.pt_min_dist.at[tgt].set(min_d, mode="drop"),
+            pt_max_dist=m.pt_max_dist.at[tgt].set(max_d, mode="drop"),
+            pt_ref_kf=m.pt_ref_kf.at[tgt].set(kf_slot, mode="drop"),
+            pt_first_frame=m.pt_first_frame.at[tgt].set(
+                jnp.int32(frame_id), mode="drop"),
+            pt_found=m.pt_found.at[tgt].set(1, mode="drop"),
+            pt_visible=m.pt_visible.at[tgt].set(1, mode="drop"),
+            next_pt=jnp.minimum(
+                m.next_pt + jnp.sum(make.astype(jnp.int32)), m.max_pt))
+        kp_pt_new = jnp.where(make, new_ids, kp_pt_idx)
+        return m._replace(
+            kf_pt_idx=m.kf_pt_idx.at[kf_slot].set(kp_pt_new))
+
+    # New ids are CONSECUTIVE from next_pt, so the writes are one
+    # contiguous [N]-row block: compact the maker rows to the block head
+    # (one gather), then dynamic_update_slice each channel — TPU scatters
+    # with random indices cost ~1 ms each and there are ten channels
+    # (measured 10.9 ms/KF as scatters, ~1 ms as slice updates). Rows of
+    # the block that are not makers keep their current table values.
+    P, N = m.max_pt, n
+    n_make = jnp.sum(make.astype(jnp.int32))
+    offset = jnp.clip(m.next_pt, 0, P - N)
+    shift = m.next_pt - offset                     # block row of 1st maker
+    perm = jnp.argsort(~make, stable=True)         # makers first, in order
+    rows = jnp.arange(N, dtype=jnp.int32)
+    src_idx = perm[(rows - shift) % N]             # block row -> source kp
+    sel = (rows >= shift) & (rows < shift + n_make)
+
+    def put(table, vals, fill_sel=None):
+        blk = jax.lax.dynamic_slice_in_dim(table, offset, N, axis=0)
+        v = vals if fill_sel is not None else vals[src_idx]
+        cond = sel
+        if blk.ndim > 1:
+            cond = sel.reshape((N,) + (1,) * (blk.ndim - 1))
+        blk = jnp.where(cond, v, blk)
+        return jax.lax.dynamic_update_slice_in_dim(table, blk, offset,
+                                                   axis=0)
+
     m = m._replace(
-        pt_xyz=m.pt_xyz.at[tgt].set(xw, mode="drop"),
-        pt_valid=m.pt_valid.at[tgt].set(True, mode="drop"),
-        pt_desc_pm1=m.pt_desc_pm1.at[tgt].set(feats.desc_pm1, mode="drop"),
-        pt_normal=m.pt_normal.at[tgt].set(normal, mode="drop"),
-        pt_min_dist=m.pt_min_dist.at[tgt].set(min_d, mode="drop"),
-        pt_max_dist=m.pt_max_dist.at[tgt].set(max_d, mode="drop"),
-        pt_ref_kf=m.pt_ref_kf.at[tgt].set(kf_slot, mode="drop"),
-        pt_first_frame=m.pt_first_frame.at[tgt].set(jnp.int32(frame_id), mode="drop"),
-        pt_found=m.pt_found.at[tgt].set(1, mode="drop"),
-        pt_visible=m.pt_visible.at[tgt].set(1, mode="drop"),
-        next_pt=jnp.minimum(m.next_pt + jnp.sum(make.astype(jnp.int32)),
-                            m.max_pt),
+        pt_xyz=put(m.pt_xyz, xw),
+        pt_valid=put(m.pt_valid, True, fill_sel=True),
+        pt_desc_pm1=put(m.pt_desc_pm1, feats.desc_pm1),
+        pt_normal=put(m.pt_normal, normal),
+        pt_min_dist=put(m.pt_min_dist, min_d),
+        pt_max_dist=put(m.pt_max_dist, max_d),
+        pt_ref_kf=put(m.pt_ref_kf, kf_slot, fill_sel=True),
+        pt_first_frame=put(m.pt_first_frame, jnp.int32(frame_id),
+                           fill_sel=True),
+        pt_found=put(m.pt_found, 1, fill_sel=True),
+        pt_visible=put(m.pt_visible, 1, fill_sel=True),
+        next_pt=jnp.minimum(m.next_pt + n_make, m.max_pt),
     )
     # record observations on the keyframe row
     kp_pt_new = jnp.where(make, new_ids, kp_pt_idx)
@@ -226,8 +273,10 @@ def create_points_from_depth(m: MapState, kf_slot: jax.Array,
 
 
 def refresh_obs_ind(m: MapState) -> MapState:
-    """Recompute the cached observation indicator from kf_pt_idx. Must be
-    called by every mutator of kf_pt_idx (keyframe-rate cost)."""
+    """Recompute the cached observation indicator from kf_pt_idx, ALL rows.
+    262k-index scatter, ~10 ms on a v5e — reserve for episodic callers
+    (map compaction, loop closure, checkpoint load); keyframe-rate mutators
+    use refresh_obs_rows / merge_obs_columns below."""
     K, N = m.kf_pt_idx.shape
     P = m.max_pt
     kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
@@ -236,6 +285,46 @@ def refresh_obs_ind(m: MapState) -> MapState:
     Z = jnp.zeros((K, P + 1), bool)
     Z = Z.at[kf, jnp.where(ok, pt, P)].set(True)
     return m._replace(obs_ind=Z[:, :P])
+
+
+def refresh_obs_rows(m: MapState, rows: jax.Array) -> MapState:
+    """Recompute the observation-indicator rows for the given keyframe
+    slots only ([R] int32; duplicates and invalid slots are harmless —
+    each row is rebuilt from its own kf_pt_idx row). O(R*N) instead of
+    the full O(K*N) scatter; keyframe-rate mutators touch <= window-size
+    rows per keyframe."""
+    R = rows.shape[0]
+    N = m.kf_pt_idx.shape[1]
+    P = m.max_pt
+    sub = m.kf_pt_idx[rows]                                  # [R, N]
+    ok = (sub >= 0) & m.kf_valid[rows][:, None]
+    r = jnp.repeat(jnp.arange(R, dtype=jnp.int32), N)
+    Zr = jnp.zeros((R, P + 1), bool).at[
+        r, jnp.where(ok, sub, P).reshape(-1)].set(True)[:, :P]
+    return m._replace(obs_ind=m.obs_ind.at[rows].set(Zr))
+
+
+def merge_obs_columns(m: MapState, remap: jax.Array,
+                      max_merges: int = 512) -> MapState:
+    """Apply a point-id remap (loser -> winner, identity elsewhere; [P]
+    int32) to the observation indicator: winner columns absorb loser
+    columns, loser columns clear — mirroring the kf_pt_idx entry remap of
+    point fusion without rebuilding the whole indicator. Non-identity
+    entries are compacted to a static max_merges budget (fusion merges
+    tens of points per keyframe; overflow beyond the budget is dropped
+    and healed by the next full refresh at compaction/loop time)."""
+    P = m.max_pt
+    K = m.obs_ind.shape[0]
+    moved = remap != jnp.arange(P, dtype=remap.dtype)
+    order = jnp.argsort(~moved, stable=True)[:max_merges]
+    live = moved[order]
+    src = jnp.where(live, order, P)
+    dst = jnp.where(live, remap[order], P)
+    Zt = jnp.zeros((P + 1, K), bool).at[:P].set(m.obs_ind.T)
+    g = Zt[src]                       # loser columns (pre-mutation)
+    Zt = Zt.at[src].set(False)        # clear losers FIRST: a winner may
+    Zt = Zt.at[dst].max(g)            # itself be a later-round loser
+    return m._replace(obs_ind=Zt[:P].T)
 
 
 def compact_points(m: MapState) -> MapState:
@@ -279,27 +368,30 @@ def compact_points(m: MapState) -> MapState:
 
 def update_point_stats(m: MapState) -> MapState:
     """Batched recomputation of per-point aggregates from all observations:
-    mean viewing normal and found/visible-independent geometry. Replaces
-    `MapPoint::UpdateNormalAndDepth` (`src/MapPoint.cc:300-340`). Cheap at
-    keyframe rate: one segment-sum over the [K, N] observation table."""
+    mean viewing normal. Replaces `MapPoint::UpdateNormalAndDepth`
+    (`src/MapPoint.cc:300-340`).
+
+    PRECONDITION: obs_ind is current (callers refresh it first).
+    MXU form, no scatters: with Z the [K, P] observation indicator and
+    W = Z / dist(cam_k, point_p),
+        sum_of_unit_dirs[p] = x_p * sum_k W[k,p] - (W^T C)[p]
+    because each unit viewing dir is (x_p - c_k)/d[k,p]. The pairwise
+    distance matrix comes from one [K,3]@[3,P] matmul (norm expansion)."""
     from eao_fusion_tpu.ops import lie
 
-    K, N = m.kf_pt_idx.shape
-    obs_pt = m.kf_pt_idx.reshape(-1)                       # [K*N]
-    obs_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-    valid = (obs_pt >= 0) & m.kf_valid[obs_kf]
-    tgt = jnp.where(valid, obs_pt, m.max_pt)
-
+    Z = (m.obs_ind & m.kf_valid[:, None]).astype(jnp.float32)   # [K, P]
     twc = lie.se3_inverse(m.kf_pose)
-    centers = twc[:, 4:7]                                  # [K, 3]
-    dirs = m.pt_xyz[jnp.clip(obs_pt, 0, None)] - centers[obs_kf]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
-    sum_dir = jnp.zeros((m.max_pt + 1, 3), jnp.float32).at[tgt].add(
-        jnp.where(valid[:, None], dirs, 0.0))
-    cnt = jnp.zeros((m.max_pt + 1,), jnp.float32).at[tgt].add(
-        valid.astype(jnp.float32))
-    normal = sum_dir[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
+    C = twc[:, 4:7]                                             # [K, 3]
+    X = m.pt_xyz                                                # [P, 3]
+    G = C @ X.T                                                 # [K, P]
+    d2 = (jnp.sum(X * X, axis=-1)[None, :]
+          + jnp.sum(C * C, axis=-1)[:, None] - 2.0 * G)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    W = Z / jnp.maximum(d, 1e-9)
+    w1 = jnp.sum(W, axis=0)                                     # [P]
+    normal = X * w1[:, None] - W.T @ C                          # [P, 3]
     nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = jnp.where(nrm > 1e-6, normal / jnp.maximum(nrm, 1e-9), m.pt_normal)
+    normal = jnp.where(nrm > 1e-6, normal / jnp.maximum(nrm, 1e-9),
+                       m.pt_normal)
     return m._replace(pt_normal=jnp.where(m.pt_valid[:, None], normal,
                                           m.pt_normal))

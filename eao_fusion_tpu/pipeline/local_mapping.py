@@ -113,8 +113,8 @@ def create_points_mono(m: MapState, kf_slot: jax.Array, *,
 
     for k in range(3):
         m = with_neighbor(m, nbrs[k])
-    from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
-    return refresh_obs_ind(m)
+    from eao_fusion_tpu.mapping.map_state import refresh_obs_rows
+    return refresh_obs_rows(m, jnp.concatenate([kf_slot[None], nbrs]))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -217,8 +217,14 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
         row = jnp.where((add_pt >= 0) & (row < 0), new, row)
         kf_pt = kf_pt.at[dst].set(row)
     m = m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
-    from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
-    return refresh_obs_ind(m)
+    # indicator upkeep without the full-table rebuild: loser->winner
+    # column merges mirror the entry remap applied to every row above;
+    # the observation ADDS touched only the three window rows, which are
+    # rebuilt exactly from their final kf_pt_idx content
+    from eao_fusion_tpu.mapping.map_state import (merge_obs_columns,
+                                                  refresh_obs_rows)
+    m = merge_obs_columns(m, total[:P])
+    return refresh_obs_rows(m, jnp.stack([kf_slot, nbrs[0], nbrs[1]]))
 
 
 def cull_keyframes(m: MapState, cur_kf: jax.Array,
@@ -388,15 +394,14 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     m = m._replace(kf_pt_idx=m.kf_pt_idx.at[tgt_r, e_slot].set(
         -1, mode="drop"))
 
-    from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
-    m = refresh_obs_ind(m)       # outlier removal edited kf_pt_idx
+    from eao_fusion_tpu.mapping.map_state import refresh_obs_rows
+    m = refresh_obs_rows(m, kf_idx)   # outlier removal edited window rows
     m = cull_keyframes(m, kf_slot)
-    # full-table descriptor/normal refreshes are [K*N]-sized scatters —
-    # amortize them (every 4th keyframe); the aggregates they maintain
-    # drift slowly (majority votes / mean normals)
-    def refresh(mm):
-        return update_point_stats(refresh_point_descriptors(mm))
-    m = jax.lax.cond(kf_slot % 4 == 0, refresh, lambda mm: mm, m)
+    m = update_point_stats(m)         # MXU form — cheap every keyframe
+    # the full-table descriptor majority vote is a [K*N, 256] scatter-add —
+    # amortize it (every 4th keyframe); the votes drift slowly
+    m = jax.lax.cond(kf_slot % 4 == 0, refresh_point_descriptors,
+                     lambda mm: mm, m)
     return m
 
 

@@ -41,7 +41,7 @@ def insert_keyframe_rgbd(m: ms.MapState, feats: FrameFeatures,
                                     max_depth, cam, frame_id,
                                     scale_factor=cfg.orb.scale_factor,
                                     n_levels=cfg.orb.n_levels)
-    m = ms.refresh_obs_ind(m)
+    m = ms.refresh_obs_rows(m, slot[None])   # insertion touched one row
     m = ms.update_point_stats(m)
     return m
 
