@@ -192,6 +192,12 @@ class ObjectConfig:
     # batched PRNG + tree ops dominate). Set False... set this False to
     # match the reference schedule exactly.
     iforest_keyframe_rate: bool = True
+    # Rows per cull pass: the forest runs on the `compact` most recently
+    # observed gated objects (membership only changes on observation, so
+    # older rows were culled when last touched — same converged cull set as
+    # the full-table sweep). 0 = full table. 16 keeps the keyframe-rate
+    # cull at ~1/4 of the full-table cost on TPU.
+    iforest_compact_rows: int = 16
     # Association ablation flag, mirroring the reference's mode string
     # ("Full"/"NA"/"IoU"/"NP"/"EAO"/"iForest"/"None", DOC/EAO-SLAM-README.md).
     mode: str = "Full"

@@ -47,54 +47,59 @@ def anomaly_scores(pts: jax.Array, valid: jax.Array, key: jax.Array,
                                  replace=True, p=p)
     spts = pts[samp_idx]                                   # [T, S, 3]
 
-    n_pad = 1 << (depth - 1)   # per-level node arrays padded to the max
-
     def onehot(node, n):
         grid = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         return (node[:, None] == grid).astype(jnp.float32)
 
+    # Levels are UNROLLED with exact per-level widths (2**l nodes at level
+    # l): the one-hot contractions that dominate cost scale with the node
+    # width, and padding every level to 2**(depth-1) (the lax.scan form)
+    # wastes 4x work (sum 2^l = 255 vs depth * 128 = 1024 for depth 8).
+    # All per-node lookups stay one-hot matmuls — arbitrary gathers are
+    # pathologically slow on the TPU.
     def build_tree(tpts, kd, ks):
-        """Level-synchronous build via lax.scan. All per-node lookups are
-        one-hot matmuls — arbitrary gathers are pathologically slow on the
-        TPU. Returns (dims [depth, n_pad, 3] one-hot, splits, counts)."""
+        """Returns per-level lists: dims one-hot [w,3], splits [w],
+        counts [w] with w = 2**l."""
         kds = jax.random.split(kd, depth)
         kss = jax.random.split(ks, depth)
-
-        def level(node, inp):
-            kdu, ksu = inp
-            oh = onehot(node, n_pad)                       # [S, n_pad]
+        node = jnp.zeros((tpts.shape[0],), jnp.int32)
+        out = []
+        for l in range(depth):
+            w = 1 << l
+            oh = onehot(node, w)                           # [S, w]
             big = 1e9
-            sel = oh[:, :, None] > 0                       # [S, n_pad, 1]
+            sel = oh[:, :, None] > 0                       # [S, w, 1]
             mn = jnp.min(jnp.where(sel, tpts[:, None, :], big), axis=0)
             mx = jnp.max(jnp.where(sel, tpts[:, None, :], -big), axis=0)
-            cnt = oh.sum(axis=0)                           # [n_pad]
+            cnt = oh.sum(axis=0)                           # [w]
             dim_oh = jax.nn.one_hot(
-                jax.random.randint(kdu, (n_pad,), 0, 3), 3)  # [n_pad, 3]
-            u = jax.random.uniform(ksu, (n_pad,))
+                jax.random.randint(kds[l], (w,), 0, 3), 3)   # [w, 3]
+            u = jax.random.uniform(kss[l], (w,))
             lo = jnp.sum(mn * dim_oh, axis=-1)
             hi = jnp.sum(mx * dim_oh, axis=-1)
             split = lo + u * jnp.maximum(hi - lo, 1e-9)
             # per-sample chosen coordinate + split via one-hot contractions
             v = jnp.einsum("sp,pd,sd->s", oh, dim_oh, tpts)
             sp_here = oh @ split
-            node = jnp.minimum(node * 2 + (v > sp_here), n_pad - 1)
-            return node, (dim_oh, split, cnt)
-
-        _, out = jax.lax.scan(level, jnp.zeros((tpts.shape[0],), jnp.int32),
-                              (kds, kss))
-        return out
+            node = node * 2 + (v > sp_here)
+            out.append((dim_oh, split, cnt))
+        return tuple(out)
 
     kds = jax.random.split(k_dim, n_trees)
     kss = jax.random.split(k_split, n_trees)
-    dims_oh, splits, counts = jax.vmap(build_tree)(spts, kds, kss)
-    # dims_oh [T, depth, n_pad, 3]; splits/counts [T, depth, n_pad]
+    levels = jax.vmap(build_tree)(spts, kds, kss)
+    # levels[l] = (dims_oh [T, w, 3], splits [T, w], counts [T, w])
 
     # --- scoring: route every point through every tree -------------------
-    def route(tree_dims_oh, tree_splits, tree_counts):
-        def level(carry, inp):
-            node, h, alive, last_cnt = carry
-            dim_oh, split, cnt = inp
-            oh = onehot(node, n_pad)                       # [M, n_pad]
+    def route(tree_levels):
+        node = jnp.zeros((M,), jnp.int32)
+        h = jnp.zeros((M,), jnp.float32)
+        alive = jnp.ones((M,), bool)
+        last_cnt = jnp.full((M,), float(sample), jnp.float32)
+        for l in range(depth):
+            dim_oh, split, cnt = tree_levels[l]
+            w = 1 << l
+            oh = onehot(node, w)                           # [M, w]
             c_here = oh @ cnt
             isolated_now = alive & (c_here <= 1.0)
             alive2 = alive & (c_here > 1.0)
@@ -103,18 +108,12 @@ def anomaly_scores(pts: jax.Array, valid: jax.Array, key: jax.Array,
                                  jnp.where(alive2, c_here, last_cnt))
             v = jnp.einsum("mp,pd,md->m", oh, dim_oh, pts)
             sp_here = oh @ split
-            node = jnp.minimum(node * 2 + (v > sp_here), n_pad - 1)
-            return (node, h, alive2, last_cnt), None
-
-        init = (jnp.zeros((M,), jnp.int32), jnp.zeros((M,), jnp.float32),
-                jnp.ones((M,), bool),
-                jnp.full((M,), float(sample), jnp.float32))
-        (node, h, alive, last_cnt), _ = jax.lax.scan(
-            level, init, (tree_dims_oh, tree_splits, tree_counts))
+            node = node * 2 + (v > sp_here)
+            alive = alive2
         # terminal correction for points still in populated nodes
         return h + jnp.where(last_cnt > 1.0, _avg_path(last_cnt), 0.0)
 
-    hs = jax.vmap(route)(dims_oh, splits, counts)          # [T, M]
+    hs = jax.vmap(route)(levels)                           # [T, M]
     h_mean = hs.mean(axis=0)
     score = jnp.exp2(-h_mean / _avg_path(jnp.asarray(float(sample))))
     return jnp.where(valid, score, 0.0)

@@ -155,5 +155,6 @@ def merge_and_overlap(tab: ObjectTable, pt_xyz: jax.Array, key: jax.Array,
     if (cfg.objects.iforest_keyframe_rate
             and cfg.objects.mode not in ("None", "NA")):
         from eao_fusion_tpu.objects.update import iforest_cull
-        tab = iforest_cull(tab, pt_xyz, key, cfg=cfg)
+        tab = iforest_cull(tab, pt_xyz, key, cfg=cfg,
+                           compact=cfg.objects.iforest_compact_rows)
     return tab

@@ -24,11 +24,21 @@ IFOREST_SKIP_CLASSES = (75, 64, 65)   # reference `src/Object.cc:1244-1246`
 IFOREST_SPECIAL_CLASS = 62            # threshold 0.65 instead of 0.6
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "compact"))
 def iforest_cull(tab: ObjectTable, pt_xyz: jax.Array, key: jax.Array,
-                 touched=None, *, cfg: SystemConfig) -> ObjectTable:
+                 touched=None, *, cfg: SystemConfig,
+                 compact: int = 0) -> ObjectTable:
     """Isolation-forest member culling over (a subset of) the object table
-    (`Object_Map::IsolationForestDeleteOutliers`)."""
+    (`Object_Map::IsolationForestDeleteOutliers`).
+
+    `compact` > 0 gathers only that many gated rows (most recently seen
+    first), runs the forest on the compact subset, and scatters the culled
+    membership back — the reference only re-culls objects whose membership
+    changed (the cull runs inside `DataAssociateUpdate`,
+    `src/Object.cc:1352-1602`), so bounding the per-pass row count to the
+    recently-updated set preserves behavior while keeping the forest cost
+    independent of table capacity (full-table vmap: 36 ms/KF on v5e; the
+    steady-state hotspot of round 2)."""
     oc = cfg.objects
     O = tab.cls.shape[0]
     thresh = jnp.where(tab.cls == IFOREST_SPECIAL_CLASS,
@@ -39,6 +49,26 @@ def iforest_cull(tab: ObjectTable, pt_xyz: jax.Array, key: jax.Array,
     gate = tab.valid & (~skip)
     if touched is not None:
         gate = gate & touched
+
+    if compact and compact < O:
+        K = compact
+        # most-recently-observed gated rows first (membership only changes
+        # on observation, so stale rows were already culled when touched)
+        score = jnp.where(gate, tab.last_frame, jnp.int32(-1))
+        _, rows = jax.lax.top_k(score, K)                    # distinct rows
+        rgate = gate[rows]
+        pw = pt_xyz[jnp.clip(tab.pt_idx[rows], 0, None)]     # [K, M, 3]
+        keys = jax.random.split(key, K)
+        cull = jax.vmap(
+            lambda p, v, k, t: cull_mask(p, v, k, t,
+                                         n_trees=oc.iforest_trees))(
+            pw, tab.pt_ok[rows], keys, thresh[rows])
+        cull = cull & rgate[:, None]
+        sink_rows = jnp.where(rgate, rows, O)
+        tab = tab._replace(pt_ok=tab.pt_ok.at[sink_rows].set(
+            tab.pt_ok[rows] & (~cull), mode="drop"))
+        return member_stats(tab, pt_xyz)
+
     pw = pt_xyz[jnp.clip(tab.pt_idx, 0, None)]
     keys = jax.random.split(key, O)
     cull = jax.vmap(
@@ -179,7 +209,8 @@ def object_update(tab: ObjectTable, fo: FrameObjects, assoc: AssocResult,
     # ---- 5. stats + isolation forest -------------------------------------
     tab = member_stats(tab, pt_xyz)
     if oc.mode not in ("None", "NA") and not oc.iforest_keyframe_rate:
-        tab = iforest_cull(tab, pt_xyz, key, touched, cfg=cfg)
+        tab = iforest_cull(tab, pt_xyz, key, touched, cfg=cfg,
+                           compact=cfg.objects.iforest_compact_rows)
 
     # ---- 6. co-occurrence + potential-association counters ---------------
     present_rows = jnp.concatenate([
