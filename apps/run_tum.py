@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--kitti", default=None)
     ap.add_argument("--mono", action="store_true")
+    ap.add_argument("--stereo", action="store_true",
+                    help="rectified stereo: dataset must also have "
+                         "right.txt + right/ images (System::TrackStereo "
+                         "lane; depth comes from epipolar matching, planes "
+                         "are unavailable without a depth image)")
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
     ap.add_argument("--no-loop", action="store_true")
@@ -63,9 +68,10 @@ def main(argv=None):
     from eao_fusion_tpu.pipeline.system import System
 
     import dataclasses
+    sensor = "mono" if args.mono else ("stereo" if args.stereo else "rgbd")
     cfg = tum_fr3_config(
-        sensor="mono" if args.mono else "rgbd",
-        use_planes=not args.no_planes and not args.mono,
+        sensor=sensor,
+        use_planes=not args.no_planes and sensor == "rgbd",
         use_objects=not args.no_objects,
         use_loop_closing=not args.no_loop)
     cfg = cfg.replace(objects=dataclasses.replace(cfg.objects,
@@ -76,8 +82,10 @@ def main(argv=None):
         sys.exit(f"error: {rgb_txt} not found — expected a TUM dataset "
                  f"directory (rgb.txt [+ depth.txt])")
     rgb_list = tum.read_image_list(rgb_txt)
-    depth_list = [] if args.mono else tum.read_image_list(
+    depth_list = [] if (args.mono or args.stereo) else tum.read_image_list(
         os.path.join(args.dataset, "depth.txt"))
+    right_list = tum.read_image_list(
+        os.path.join(args.dataset, "right.txt")) if args.stereo else []
     pairs = tum.associate_timestamps(
         np.array([t for t, _ in rgb_list]),
         np.array([t for t, _ in depth_list])) if depth_list else \
@@ -100,8 +108,14 @@ def main(argv=None):
     # built, PIL fallback otherwise
     from eao_fusion_tpu.io import native_loader
 
+    right_pairs = None
+    if args.stereo:
+        right_pairs = dict(tum.associate_timestamps(
+            np.array([t for t, _ in rgb_list]),
+            np.array([t for t, _ in right_list])))
+
     def frame_iter():
-        if native_loader.available():
+        if native_loader.available() and not args.stereo:
             rgbs = [os.path.join(args.dataset, rgb_list[ri][1])
                     for ri, _ in pairs]
             deps = [os.path.join(args.dataset, depth_list[di][1])
@@ -136,8 +150,13 @@ def main(argv=None):
             j = int(np.argmin(np.abs(gt_ts - ts_img)))
             from eao_fusion_tpu.ops import lie
             init_pose = np.asarray(lie.se3_inverse(gt_twc[j]))
+        right = None
+        if right_pairs is not None:
+            ri = pairs[n][0]
+            right = load_image(os.path.join(
+                args.dataset, right_list[right_pairs[ri]][1]), gray=True)
         s.process_frame(gray, depth, ts_img, boxes=boxes,
-                        initial_pose=init_pose)
+                        initial_pose=init_pose, right=right)
         if n == 1:
             t0 = time.time()   # exclude first-frame compile time from fps
         if n % 50 == 0:

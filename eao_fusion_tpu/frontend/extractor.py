@@ -39,16 +39,14 @@ def features_per_level(cfg: ORBConfig, total: Optional[int] = None) -> List[int]
     return [int(a) for a in alloc]
 
 
-@functools.partial(jax.jit, static_argnames=("orb_cfg", "cam_cfg", "with_depth"))
-def extract_features(img: jax.Array,
-                     depth: Optional[jax.Array] = None,
-                     *,
-                     orb_cfg: ORBConfig,
-                     cam_cfg: CameraConfig,
-                     with_depth: bool = True) -> FrameFeatures:
-    """img: [H, W] float32 grayscale in [0,1]. depth: [H, W] float32 meters
-    (0 = invalid) or None for monocular."""
-    pyramid = image_ops.build_pyramid(img, orb_cfg.n_levels, orb_cfg.scale_factor)
+def extract_from_pyramid(pyramid: List[jax.Array], *,
+                         orb_cfg: ORBConfig) -> FrameFeatures:
+    """Detection + orientation + description over a prebuilt pyramid.
+    Returns FrameFeatures with the depth channel unset (depth=0,
+    uright=-1). Keypoint slots are laid out level-major with the static
+    per-level budgets of `features_per_level` — the stereo matcher
+    (frontend/stereo.py) relies on that layout for per-octave correlation
+    windows."""
     budgets = features_per_level(orb_cfg)
 
     # phase 1 — per-level detection (static shapes per level)
@@ -75,7 +73,6 @@ def extract_features(img: jax.Array,
     uv = jnp.concatenate(uv_all)
     response = jnp.concatenate(resp_all)
     level = jnp.concatenate(lvl_all)
-    yx_cat = jnp.concatenate(yx_all)
     valid = response > 0.0
 
     # phase 2 — batched orientation + description for ALL keypoints at
@@ -92,6 +89,27 @@ def extract_features(img: jax.Array,
     desc_packed, desc_pm1 = orb_ops.descriptors_from_patches(blurred, angle)
 
     n = uv.shape[0]
+    pm1 = jnp.where(valid[:, None], desc_pm1, jnp.int8(0))
+    return FrameFeatures(uv=uv, response=response, level=level, angle=angle,
+                         desc_packed=desc_packed, desc_pm1=pm1, valid=valid,
+                         depth=jnp.zeros((n,), jnp.float32),
+                         uright=jnp.full((n,), -1.0, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("orb_cfg", "cam_cfg", "with_depth"))
+def extract_features(img: jax.Array,
+                     depth: Optional[jax.Array] = None,
+                     *,
+                     orb_cfg: ORBConfig,
+                     cam_cfg: CameraConfig,
+                     with_depth: bool = True) -> FrameFeatures:
+    """img: [H, W] float32 grayscale in [0,1]. depth: [H, W] float32 meters
+    (0 = invalid) or None for monocular."""
+    pyramid = image_ops.build_pyramid(img, orb_cfg.n_levels,
+                                      orb_cfg.scale_factor)
+    feats = extract_from_pyramid(pyramid, orb_cfg=orb_cfg)
+    uv, valid = feats.uv, feats.valid
+    n = uv.shape[0]
     if with_depth and depth is not None:
         h, w = depth.shape
         ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
@@ -102,15 +120,8 @@ def extract_features(img: jax.Array,
         uright = jnp.where(has_d, uv[:, 0] - cam_cfg.bf / jnp.maximum(d, 1e-6),
                            -1.0)
     else:
-        d = jnp.zeros((n,), jnp.float32)
-        uright = jnp.full((n,), -1.0, jnp.float32)
-
-    # zero out descriptor lanes of invalid slots so matmul scoring can't
-    # produce spurious matches against empty slots
-    pm1 = jnp.where(valid[:, None], desc_pm1, jnp.int8(0))
-    return FrameFeatures(uv=uv, response=response, level=level, angle=angle,
-                         desc_packed=desc_packed, desc_pm1=pm1, valid=valid,
-                         depth=d, uright=uright)
+        return feats
+    return feats._replace(depth=d, uright=uright)
 
 
 def scale_factors(cfg: ORBConfig) -> np.ndarray:

@@ -365,4 +365,35 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     return SyntheticSequence(frames=frames, camera=cam, scene=scene)
 
 
+def render_right_images(seq: SyntheticSequence, seed: int = 0,
+                        cache_dir: Optional[str] = None) -> np.ndarray:
+    """Rectified right-eye grays for an existing sequence: the right camera
+    sits at +baseline along the left camera's x-axis, so Tcw_right has the
+    same rotation and t_r = t_l - b*e_x (then uR = uL - bf/z, the virtual
+    right-coordinate convention of `src/Frame.cc:1016`)."""
+    import os
+    cam = seq.camera
+    n = len(seq.frames)
+    path = None
+    if cache_dir:
+        t0 = seq.frames[0].tcw
+        key = (f"right_v1_n{n}_s{seed}_b{cam.baseline:.4f}"
+               f"_{cam.width}x{cam.height}_f{cam.fx:.1f}"
+               f"_h{hash(tuple(np.round(t0, 4))) & 0xffffffff:x}.npz")
+        path = os.path.join(cache_dir, key)
+        if os.path.exists(path):
+            return np.load(path)["right"]
+    rights = []
+    for f in seq.frames:
+        t = f.tcw.astype(np.float32).copy()
+        t[4] -= cam.baseline
+        gray, _ = render_frame(seq.scene, cam, t)
+        rights.append(gray)
+    out = np.stack(rights)
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(path, right=out)
+    return out
+
+
 DEFAULT_CACHE = "/root/.cache/eao_synth"

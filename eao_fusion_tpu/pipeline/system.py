@@ -127,27 +127,37 @@ class System:
                       depth: Optional[np.ndarray] = None,
                       timestamp: float = 0.0,
                       boxes: Optional[np.ndarray] = None,
-                      initial_pose: Optional[np.ndarray] = None) -> np.ndarray:
-        """Track one frame (RGBD if depth is given, monocular otherwise);
-        returns the estimated Tcw [7].
+                      initial_pose: Optional[np.ndarray] = None,
+                      right: Optional[np.ndarray] = None) -> np.ndarray:
+        """Track one frame (RGBD if depth is given, stereo if a rectified
+        right image is given, monocular otherwise); returns the estimated
+        Tcw [7]. This is the facade for the reference's TrackRGBD /
+        TrackStereo / TrackMonocular entries (`src/System.cc:142-249`).
 
         `initial_pose` seeds the world frame at initialization (GT or
         IMU-gravity alignment, ConstraintType semantics of
         `src/Tracking.cc:1276-1308`)."""
         cfg = self.cfg
-        mono = depth is None or cfg.sensor == "mono"
+        stereo = right is not None and depth is None and cfg.sensor != "mono"
+        mono = (depth is None and not stereo) or cfg.sensor == "mono"
         if self.detector is not None and boxes is None:
             # dispatch detection BEFORE feature extraction so the two
             # overlap (the reference's InsertImage-at-frame-start pattern,
             # `src/Tracking.cc:318` — async dispatch replaces the thread)
             rgb = np.asarray(gray)
             self.detector.submit(np.stack([rgb, rgb, rgb], axis=-1))
-        feats = extractor.extract_features(
-            jnp.asarray(gray),
-            None if mono else jnp.asarray(depth),
-            orb_cfg=cfg.orb, cam_cfg=cfg.camera, with_depth=not mono)
+        if stereo:
+            from eao_fusion_tpu.frontend import stereo as stereo_fe
+            feats = stereo_fe.extract_stereo_features(
+                jnp.asarray(gray), jnp.asarray(right),
+                orb_cfg=cfg.orb, cam_cfg=cfg.camera)
+        else:
+            feats = extractor.extract_features(
+                jnp.asarray(gray),
+                None if mono else jnp.asarray(depth),
+                orb_cfg=cfg.orb, cam_cfg=cfg.camera, with_depth=not mono)
         planes = None
-        if cfg.use_planes and not mono:
+        if cfg.use_planes and not mono and depth is not None:
             from eao_fusion_tpu.ops import planes as plane_ops
             planes = plane_ops.segment_planes(
                 jnp.asarray(depth), cam=cfg.camera, cfg=cfg.planes)
