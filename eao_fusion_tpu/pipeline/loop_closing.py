@@ -53,7 +53,7 @@ class LoopCloser:
         self.bow = self.bow.at[slot].set(v)
 
     # ------------------------------------------------------------- detect
-    def detect(self, m: MapState, slot: int) -> int:
+    def detect(self, m: MapState, slot: int, debug: bool = False) -> int:
         """Returns a loop-candidate keyframe slot or -1. Implements
         `KeyFrameDatabase::DetectLoopCandidates` gating + LoopClosing's
         3-consecutive-group consistency (`src/LoopClosing.cc:103-229`)."""
@@ -80,6 +80,15 @@ class LoopCloser:
         cand_mask = kf_valid & (~connected) & (scores >= max(min_score, 1e-6))
         cand_mask[max(0, slot - 10):] = False   # skip very recent keyframes
         cand = np.where(cand_mask)[0]
+        if debug:
+            old = kf_valid.copy()
+            old[max(0, slot - 10):] = False
+            old &= ~connected
+            top = scores[old].max() if old.any() else 0.0
+            print(f"[loop] kf{slot}: n_conn={int(connected.sum())} "
+                  f"min_score={min_score:.4f} best_old={top:.4f} "
+                  f"n_cand={len(cand)} groups={[(g[1] if isinstance(g, tuple) else 0) for g in self.consistent_groups][:6]}",
+                  flush=True)
         if len(cand) == 0:
             self.consistent_groups = []
             return -1
@@ -523,11 +532,23 @@ class LoopCloser:
 
     # ------------------------------------------------------------ driver
     def on_keyframe(self, m: MapState, slot: int, key) -> Tuple[MapState, bool]:
+        import os
+        dbg = os.environ.get("EAO_LOOP_DEBUG")
+        # Loop decisions read the covisibility graph; recompute the
+        # observation indicator exactly here rather than trusting the
+        # keyframe-rate incremental cache (staleness in a single row warps
+        # the consistency groups). This is episodic host-side work (~10 ms
+        # per keyframe on v5e) outside the steady-state tracking loop.
+        from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+        m = refresh_obs_ind(m)
         self.add_keyframe_bow(m, slot)
-        cand = self.detect(m, slot)
+        cand = self.detect(m, slot, debug=bool(dbg))
         if cand < 0:
             return m, False
         g = self.compute_sim3(m, slot, cand, key)
+        if dbg:
+            print(f"[loop] kf{slot}: candidate {cand}, sim3 "
+                  f"{'OK' if g is not None else 'REJECTED'}", flush=True)
         if g is None:
             return m, False
         m = self.correct(m, slot, cand, g)
