@@ -113,6 +113,11 @@ def main(argv=None):
         right_pairs = dict(tum.associate_timestamps(
             np.array([t for t, _ in rgb_list]),
             np.array([t for t, _ in right_list])))
+        # drop left frames with no right match within max_dt: pairs
+        # enumerates EVERY rgb frame, but associate_timestamps only keeps
+        # associated ones — indexing right_pairs[ri] would KeyError on any
+        # dataset whose left/right lists are not perfectly aligned
+        pairs = [(ri, di) for ri, di in pairs if ri in right_pairs]
 
     def frame_iter():
         if native_loader.available() and not args.stereo:

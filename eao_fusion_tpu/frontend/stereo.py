@@ -78,6 +78,10 @@ def _correlate_level(pyr_l: jax.Array, pyr_r: jax.Array,
     delta = jnp.where(jnp.abs(denom) > 1e-9,
                       (d1 - d3) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
     ok = ((bi > 0) & (bi < 2 * _L)                       # not at window edge
+          # flat correlation valley (denom ~ 0) -> deltaR is infinite in the
+          # reference and rejected by its |deltaR|>1 gate (src/Frame.cc:974);
+          # reject instead of substituting delta=0
+          & (denom > 1e-9)
           & (jnp.abs(delta) <= 1.0)
           # in-bounds (reference iniu/endu check + slice validity)
           & (sv - _W >= 0) & (sv + _W < rows)

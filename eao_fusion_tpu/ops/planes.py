@@ -130,7 +130,12 @@ def _window_moments(x: jax.Array, y: jax.Array, z: jax.Array,
          ).astype(jnp.float32)
     chans = jnp.stack([m, xm, ym, zm, xm * xm, ym * ym, zm * zm,
                        xm * ym, xm * zm, ym * zm])               # [10, Hc, Wc]
+    # precision='float32' forces f32 OPERANDS (preferred_element_type only
+    # sets the accumulator dtype): bf16 operand truncation (~0.2%) gets
+    # amplified by the cov = pp/n - mu*mu^T cancellation into mse noise on
+    # the order of the planarity gate itself. ~400 MFLOP, f32 cost is noise.
     w = jnp.einsum("hH,cHW,Wg->chg", R, chans, C,
+                   precision="float32",
                    preferred_element_type=jnp.float32).reshape(10, G)
     n = w[0]
     s = jnp.stack([w[1], w[2], w[3]], axis=-1)                   # [G, 3]
@@ -201,8 +206,10 @@ def segment_planes(depth: jax.Array, *, cam: CameraConfig,
 
     # Sweeps are gather-free: neighbor labels come from 2D rolls of the
     # (gh, gw) grid, and the two pointer jumps per sweep are one-hot MXU
-    # matmuls (exact for int labels < 2^24). The arbitrary-gather version
-    # of this loop measured ~2 ms/frame; rolls + one-hot are ~100 µs.
+    # matmuls. precision='float32' is REQUIRED for exactness: labels run up
+    # to G (3072 at 640x480/win=10) and are only exactly representable for
+    # int < 2^24 with f32 OPERANDS — at the TPU default bf16 operand
+    # precision labels above 256 round to wrong window indices.
     def sweep(lbl, _):
         mn = lbl.reshape(gh, gw)
         for k, (dy, dx) in enumerate(offs):
@@ -212,6 +219,7 @@ def segment_planes(depth: jax.Array, *, cam: CameraConfig,
         for _ in range(2):          # pointer jumping (G = invalid sink)
             oh = (lbl[:, None] == iota_g[None, :]).astype(jnp.float32)
             jumped = jnp.dot(oh, lbl.astype(jnp.float32),
+                             precision="float32",
                              preferred_element_type=jnp.float32)
             lbl = jnp.where(lbl >= G, G, jumped.astype(jnp.int32))
         lbl = jnp.where(planar, lbl, G)
@@ -224,7 +232,8 @@ def segment_planes(depth: jax.Array, *, cam: CameraConfig,
     oh_lbl = (labels[:, None] == iota_g[None, :]).astype(jnp.float32)  # [G,G]
     mom = jnp.concatenate([n[:, None].astype(jnp.float32), s,
                            pp.reshape(G, 9)], axis=1)          # [G, 13]
-    seg = jnp.dot(oh_lbl.T, mom, preferred_element_type=jnp.float32)
+    seg = jnp.dot(oh_lbl.T, mom, precision="float32",
+                  preferred_element_type=jnp.float32)
     seg_n = seg[:, 0]
     seg_s = seg[:, 1:4]
     seg_pp = seg[:, 4:13].reshape(G, 3, 3)
