@@ -132,6 +132,10 @@ class SolverConfig:
     lm_lambda_max: float = 1.0e2
     huber_mono: float = 2.447   # sqrt(5.991)
     huber_stereo: float = 2.796  # sqrt(7.815)
+    # Run the per-frame pose optimizer as one fused Pallas kernel on TPU
+    # (solvers/pose_opt_pallas.py); the XLA path is used on CPU and as the
+    # reference implementation for the parity test.
+    use_pallas_pose: bool = True
 
 
 @dataclass(frozen=True)
@@ -239,6 +243,13 @@ class MapCapacity:
     max_local_ba_obs: int = 8192
     max_local_ba_kfs: int = 32
     max_local_ba_points: int = 2048
+    # Covisible neighbors visited by SearchInNeighbors-style fusion
+    # (reference nn=10 for RGBD, `src/LocalMapping.cc:462`; both fuse
+    # directions run per neighbor, batched via vmap).
+    fuse_neighbors: int = 10
+    # Covisible neighbors for monocular triangulation
+    # (`src/LocalMapping.cc:216`: nn=20 mono).
+    triangulation_neighbors: int = 5
 
 
 @dataclass(frozen=True)

@@ -50,7 +50,8 @@ def create_points_mono(m: MapState, kf_slot: jax.Array, *,
     covis = covisibility.covisibility_counts(Z)
     row = covis[kf_slot].at[kf_slot].set(0.0)
     row = jnp.where(m.kf_valid, row, -1.0)
-    _, nbrs = jax.lax.top_k(row, 3)
+    n_tri = cfg.capacity.triangulation_neighbors
+    _, nbrs = jax.lax.top_k(row, n_tri)
 
     def with_neighbor(m, nb):
         ok_nb = (covis[kf_slot, nb] > 10) & m.kf_valid[nb] & (nb != kf_slot)
@@ -111,7 +112,7 @@ def create_points_mono(m: MapState, kf_slot: jax.Array, *,
         m = m._replace(kf_pt_idx=m.kf_pt_idx.at[nb].set(row_b))
         return m
 
-    for k in range(3):
+    for k in range(n_tri):
         m = with_neighbor(m, nbrs[k])
     from eao_fusion_tpu.mapping.map_state import refresh_obs_rows
     return refresh_obs_rows(m, jnp.concatenate([kf_slot[None], nbrs]))
@@ -132,7 +133,17 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
         starve below the obs>=3 culling bar during exploration.
     A projection that lands on a keypoint with a matching descriptor
     either merges the two map points (the better-observed id wins, all
-    references redirected) or adds the missing observation."""
+    references redirected) or adds the missing observation.
+
+    The reference visits nn=10 covisible keyframes (RGBD,
+    `src/LocalMapping.cc:462`) plus 5 second-level neighbors of each; here
+    the top `cfg.capacity.fuse_neighbors` covisible keyframes are matched
+    in ONE vmapped batch (all 2*n directions against the same pre-fuse
+    state — the matches are independent, so the 2n masked-Hamming passes
+    ride the MXU together), and the loser->winner redirects compose
+    sequentially afterwards. The second-level extension is subsumed: the
+    top-10 covisibility row of a fresh keyframe already covers the
+    reference's deduped first+second-level set at our keyframe density."""
     from eao_fusion_tpu.frontend import matcher as fm
     from eao_fusion_tpu.types import FrameFeatures
 
@@ -144,7 +155,8 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
     obs_count = jnp.sum(Z, axis=0)
     row = covis[kf_slot].at[kf_slot].set(0.0)
     row = jnp.where(m.kf_valid, row, -1.0)
-    _, nbrs = jax.lax.top_k(row, 2)
+    n_fuse = cfg.capacity.fuse_neighbors
+    _, nbrs = jax.lax.top_k(row, n_fuse)
 
     def match_pair(src, dst, ok_pair):
         """Project src keyframe's tracked points into dst's frame; return
@@ -184,22 +196,24 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
         loser = jnp.where(both, jnp.where(keep_new, pt_old, pt_new), -1)
         # add missing observations (projection matched an orphan keypoint)
         add = has & (pt_old < 0)
-        return winner, loser, jnp.where(add, pt_new, -1), dst
+        return winner, loser, jnp.where(add, pt_new, -1)
 
-    proposals = []
-    for k in range(2):
-        nb = nbrs[k]
-        ok = (covis[kf_slot, nb] > 15) & m.kf_valid[nb] & (nb != kf_slot)
-        proposals.append(match_pair(kf_slot, nb, ok))
-        proposals.append(match_pair(nb, kf_slot, ok))
+    ok_nb = (covis[kf_slot, nbrs] > 15) & m.kf_valid[nbrs] & \
+        (nbrs != kf_slot)
+    kf_rep = jnp.full((n_fuse,), kf_slot, dtype=nbrs.dtype)
+    srcs = jnp.concatenate([kf_rep, nbrs])
+    dsts = jnp.concatenate([nbrs, kf_rep])
+    oks = jnp.concatenate([ok_nb, ok_nb])
+    winners, losers, add_pts = jax.vmap(match_pair)(srcs, dsts, oks)
 
-    # compose the four loser->winner redirects on a [P+1] table, then
+    # compose the 2n loser->winner redirects on a [P+1] table, then
     # apply ONE full-reference remap (chains resolve because each pair's
     # map is applied to the running composition)
     P = m.max_pt
     total = jnp.arange(P + 1, dtype=jnp.int32)
     pt_valid = m.pt_valid
-    for winner, loser, _, _ in proposals:
+    for k in range(2 * n_fuse):
+        winner, loser = winners[k], losers[k]
         r = jnp.arange(P + 1, dtype=jnp.int32).at[
             jnp.where(loser >= 0, loser, P)].set(
             jnp.where(loser >= 0, winner, P), mode="drop")
@@ -211,7 +225,8 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
                       total[jnp.clip(m.kf_pt_idx, 0, None)],
                       m.kf_pt_idx)
     # row-local observation additions (remapped through the composition)
-    for _, _, add_pt, dst in proposals:
+    for k in range(2 * n_fuse):
+        add_pt, dst = add_pts[k], dsts[k]
         row = kf_pt[dst]
         new = total[jnp.clip(add_pt, 0, None)]
         row = jnp.where((add_pt >= 0) & (row < 0), new, row)
@@ -219,12 +234,12 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
     m = m._replace(kf_pt_idx=kf_pt, pt_valid=pt_valid)
     # indicator upkeep without the full-table rebuild: loser->winner
     # column merges mirror the entry remap applied to every row above;
-    # the observation ADDS touched only the three window rows, which are
+    # the observation ADDS touched only the window rows, which are
     # rebuilt exactly from their final kf_pt_idx content
     from eao_fusion_tpu.mapping.map_state import (merge_obs_columns,
                                                   refresh_obs_rows)
     m = merge_obs_columns(m, total[:P])
-    return refresh_obs_rows(m, jnp.stack([kf_slot, nbrs[0], nbrs[1]]))
+    return refresh_obs_rows(m, jnp.concatenate([kf_slot[None], nbrs]))
 
 
 def cull_keyframes(m: MapState, cur_kf: jax.Array,

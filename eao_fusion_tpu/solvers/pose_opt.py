@@ -124,12 +124,29 @@ def _plane_residual_jac(pose, pobs: PlaneObs):
     return r_ang, r_dst, J_ang, J_dst
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-@f32_matmuls
 def optimize_pose(pose0: jax.Array, obs: PoseObs,
                   plane_obs: Optional[PlaneObs] = None,
                   *, cam: Tuple[float, float, float, float, float],
                   cfg: SolverConfig) -> PoseOptResult:
+    """cam = (fx, fy, cx, cy, bf). Dispatches to the fused Pallas kernel on
+    TPU (solvers/pose_opt_pallas.py — ~10x less per-iteration overhead for
+    this serial 40-iteration loop); the XLA path below is the reference
+    implementation and the CPU fallback."""
+    if (cfg.use_pallas_pose and jax.default_backend() == "tpu"
+            and obs.valid.shape[0] % 128 == 0
+            and (plane_obs is None or plane_obs.valid.shape[0] <= 128)):
+        from eao_fusion_tpu.solvers import pose_opt_pallas
+        return pose_opt_pallas.optimize_pose_pallas(
+            pose0, obs, plane_obs, cam=cam, cfg=cfg)
+    return _optimize_pose_xla(pose0, obs, plane_obs, cam=cam, cfg=cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@f32_matmuls
+def _optimize_pose_xla(pose0: jax.Array, obs: PoseObs,
+                       plane_obs: Optional[PlaneObs] = None,
+                       *, cam: Tuple[float, float, float, float, float],
+                       cfg: SolverConfig) -> PoseOptResult:
     """cam = (fx, fy, cx, cy, bf)."""
     fx, fy, cx, cy, bf = cam
     m = obs.valid.shape[0]

@@ -76,6 +76,49 @@ class TestPoseOpt:
         res = pose_opt.optimize_pose(jnp.asarray(pose0), obs, cam=CAM, cfg=CFG)
         assert pose_err(res.pose, pose_gt) < 5e-3
 
+    def test_pallas_kernel_parity(self):
+        """The fused Pallas kernel (interpret mode on CPU) must agree with
+        the XLA reference path — same pose, same inlier set — on a
+        1024-observation problem with outliers, mono+stereo edges mixed,
+        and plane factors."""
+        from eao_fusion_tpu.solvers import pose_opt_pallas
+
+        r = np.random.default_rng(7)
+        pose_gt, obs, _ = make_problem(r, n=1024, noise=0.3,
+                                       outlier_frac=0.2)
+        # mix in mono edges + some invalid slots
+        ur = np.asarray(obs.uright).copy()
+        ur[::3] = -1.0
+        valid = np.ones((1024,), bool)
+        valid[::17] = False
+        obs = obs._replace(uright=jnp.asarray(ur), valid=jnp.asarray(valid))
+
+        planes_w = np.array([[0, -1, 0, 1.2], [0, 0, -1, 4.5]], np.float32)
+        R = np.asarray(lie.quat_to_rotmat(pose_gt[:4]))
+        t = pose_gt[4:7]
+        n_c = planes_w[:, :3] @ R.T
+        d_c = planes_w[:, 3] - n_c @ t
+        meas = np.concatenate([n_c, d_c[:, None]], axis=1).astype(np.float32)
+        pobs = pose_opt.PlaneObs(plane_w=jnp.asarray(planes_w),
+                                 meas_c=jnp.asarray(meas),
+                                 valid=jnp.ones((2,), bool))
+
+        pose0 = jnp.asarray(np.asarray(lie.se3_retract(
+            jnp.asarray(pose_gt),
+            jnp.asarray(np.r_[0.02, -0.01, 0.02, 0.06, -0.04, 0.05],
+                        np.float32))))
+        for p in (None, pobs):
+            ref = pose_opt._optimize_pose_xla(pose0, obs, p, cam=CAM,
+                                              cfg=CFG)
+            ker = pose_opt_pallas.optimize_pose_pallas(
+                pose0, obs, p, cam=CAM, cfg=CFG, interpret=True)
+            assert pose_err(ref.pose, ker.pose) < 1e-3, \
+                (np.asarray(ref.pose), np.asarray(ker.pose))
+            ri = np.asarray(ref.inliers)
+            ki = np.asarray(ker.inliers)
+            assert (ri == ki).mean() > 0.995, (ri.sum(), ki.sum())
+            assert abs(int(ref.n_inliers) - int(ker.n_inliers)) <= 5
+
     def test_plane_constraints_tighten(self):
         """With only 3 far points + 2 planes, plane edges must constrain the
         solution (rank from planes)."""
