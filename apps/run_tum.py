@@ -59,6 +59,13 @@ def main(argv=None):
     ap.add_argument("--localization-only", action="store_true",
                     help="track against the (resumed) map without mapping "
                          "(System::ActivateLocalizationMode)")
+    ap.add_argument("--imu", default=None,
+                    help="accelerometer.txt for IMU-gravity world alignment "
+                         "at init (ConstraintType 2, "
+                         "message_flow.cc InitIMU semantics)")
+    ap.add_argument("--gravity-axis", type=int, default=3, choices=(2, 3),
+                    help="world axis anti-parallel to gravity "
+                         "(~gravity_aixs ROS param)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--depth-factor", type=float, default=5000.0)
     args = ap.parse_args(argv)
@@ -155,6 +162,18 @@ def main(argv=None):
             j = int(np.argmin(np.abs(gt_ts - ts_img)))
             from eao_fusion_tpu.ops import lie
             init_pose = np.asarray(lie.se3_inverse(gt_twc[j]))
+        elif args.imu and n == 0:
+            # ConstraintType 2: gravity-aligned world at init
+            # (`src/Tracking.cc:1276-1308` consuming INIT_POSE)
+            from eao_fusion_tpu.io import imu as imu_io
+            samples = tum.read_accelerometer(args.imu)
+            s0 = imu_io.sync_imu(samples, ts_img)
+            if s0 is not None:
+                init_pose = imu_io.gravity_init_pose(
+                    s0.accel, gravity_axis=args.gravity_axis)
+            else:
+                print("warning: no IMU sample within the staleness window "
+                      "of the first frame; starting unaligned", flush=True)
         right = None
         if right_pairs is not None:
             ri = pairs[n][0]

@@ -59,6 +59,25 @@ def read_groundtruth(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(ts), np.array(poses, np.float32)
 
 
+def read_accelerometer(path: str) -> List:
+    """TUM `accelerometer.txt` (`t ax ay az`) -> ImuSample list (gyro
+    zeroed; the reference only consumes accel for the gravity alignment,
+    `ros_test/src/message_flow.cc:270-308`)."""
+    from eao_fusion_tpu.io.imu import ImuSample
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = [float(x) for x in line.split()]
+            if len(v) < 4:
+                continue
+            out.append(ImuSample(v[0], np.array(v[1:4], np.float32),
+                                 np.zeros(3, np.float32)))
+    return out
+
+
 def read_yolo_boxes(path: str) -> np.ndarray:
     """Offline detection file -> [B, 6] rows (class, x, y, w, h, score)."""
     if not os.path.exists(path):

@@ -40,6 +40,29 @@ class TestImu:
         samples = [imu.ImuSample(0.0, np.zeros(3), np.zeros(3))]
         assert imu.sync_imu(samples, 0.5) is None
 
+    def test_accelerometer_file_to_init_pose(self, tmp_path):
+        """The --imu CLI path: accelerometer.txt -> synced sample ->
+        gravity-aligned Tcw whose world z is anti-parallel to gravity."""
+        from eao_fusion_tpu.io import tum
+        from eao_fusion_tpu.ops import lie
+        import jax.numpy as jnp
+
+        p = tmp_path / "accelerometer.txt"
+        # camera tilted: gravity reads along a skew direction
+        p.write_text("# t ax ay az\n"
+                     "0.00 1.0 8.5 3.0\n"
+                     "0.05 1.0 8.7 3.1\n"
+                     "0.10 1.0 8.9 3.2\n")
+        samples = tum.read_accelerometer(str(p))
+        assert len(samples) == 3
+        s = imu.sync_imu(samples, 0.05)
+        pose = imu.gravity_init_pose(s.accel, gravity_axis=3)
+        # world z axis expressed in camera coords is R[:, 2]; it must be
+        # parallel to the measured accel (which points opposite gravity)
+        R = np.asarray(lie.quat_to_rotmat(jnp.asarray(pose[:4])))
+        a = s.accel / np.linalg.norm(s.accel)
+        np.testing.assert_allclose(R[:, 2], a, atol=1e-5)
+
 
 class TestCheckpoint:
     @pytest.mark.slow
@@ -66,10 +89,12 @@ class TestCheckpoint:
         assert s2.n_keyframes == s.n_keyframes
         np.testing.assert_allclose(np.asarray(s2.map.pt_xyz),
                                    np.asarray(s.map.pt_xyz))
-        # resumed system keeps tracking
+        # resumed system keeps tracking (threshold leaves headroom for
+        # duplicate-fusion variance: at 256-keypoint budget the nn=10
+        # SearchInNeighbors pass merges a few more points than nn=2 did)
         for f in seq.frames[5:]:
             s2.process_frame(f.gray, f.depth, f.timestamp)
-        assert s2.diags[-1]["n_inliers"] > 40
+        assert s2.diags[-1]["n_inliers"] > 33
 
 
 class TestIsolationForest:
