@@ -243,38 +243,44 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
 
 
 def cull_keyframes(m: MapState, cur_kf: jax.Array,
-                   redundancy: float = 0.9) -> MapState:
+                   redundancy: float = 0.9, max_cull: int = 3) -> MapState:
     """KeyFrame culling (`LocalMapping::KeyFrameCulling`,
     `src/LocalMapping.cc:636-706`): a covisible keyframe is removed when
     >= 90% of its tracked points are observed by at least 3 other
     keyframes. The reference's same-or-finer-scale condition is
     approximated by the raw observation count; keyframe 0 and the two most
-    recent keyframes are protected. At most one keyframe is culled per call
-    (the most redundant), which converges across keyframes."""
-    Z = covisibility.observation_indicator(m)
-    covis = covisibility.covisibility_counts(Z)
-    obs_count = jnp.sum(Z, axis=0)                       # [P]
+    recent keyframes are protected. Up to `max_cull` victims are removed
+    per call (most-redundant first), recomputing redundancy between
+    victims — each removal lowers other keyframes' redundant-point counts,
+    so a one-shot mask would over-cull (the reference's sequential loop
+    sees the same effect through the erased observations)."""
 
-    # tracked/redundant counts as Z-matvecs (a [K, N] gather from the
-    # point table costs ~2.5 ms on TPU; the matmul is free) — counts
-    # unique points per keyframe, which matches the reference's per-
-    # MapPoint loop semantics
-    pv = m.pt_valid.astype(jnp.float32)
-    red = (m.pt_valid & (obs_count >= 4.0)).astype(jnp.float32)
-    counts = Z @ jnp.stack([pv, red], axis=-1)           # [K, 2]
-    n_tracked = counts[:, 0]
-    n_red = counts[:, 1]
-    ratio = n_red / jnp.maximum(n_tracked, 1.0)
+    def round_(_, m):
+        Z = covisibility.observation_indicator(m)
+        covis = covisibility.covisibility_counts(Z)
+        obs_count = jnp.sum(Z, axis=0)                   # [P]
 
-    local = covis[cur_kf] >= 15
-    cand = (m.kf_valid & local & (ratio > redundancy) & (n_tracked > 20)
-            & (jnp.arange(m.max_kf) != 0)
-            & (jnp.arange(m.max_kf) < m.next_kf - 2))
-    victim = jnp.argmax(jnp.where(cand, ratio, -1.0))
-    do_cull = jnp.any(cand)
-    m = m._replace(kf_valid=m.kf_valid.at[victim].set(
-        m.kf_valid[victim] & (~do_cull)))
-    return m
+        # tracked/redundant counts as Z-matvecs (a [K, N] gather from the
+        # point table costs ~2.5 ms on TPU; the matmul is free) — counts
+        # unique points per keyframe, matching the reference's per-
+        # MapPoint loop semantics
+        pv = m.pt_valid.astype(jnp.float32)
+        red = (m.pt_valid & (obs_count >= 4.0)).astype(jnp.float32)
+        counts = Z @ jnp.stack([pv, red], axis=-1)       # [K, 2]
+        n_tracked = counts[:, 0]
+        n_red = counts[:, 1]
+        ratio = n_red / jnp.maximum(n_tracked, 1.0)
+
+        local = covis[cur_kf] >= 15
+        cand = (m.kf_valid & local & (ratio > redundancy) & (n_tracked > 20)
+                & (jnp.arange(m.max_kf) != 0)
+                & (jnp.arange(m.max_kf) < m.next_kf - 2))
+        victim = jnp.argmax(jnp.where(cand, ratio, -1.0))
+        do_cull = jnp.any(cand)
+        return m._replace(kf_valid=m.kf_valid.at[victim].set(
+            m.kf_valid[victim] & (~do_cull)))
+
+    return jax.lax.fori_loop(0, max_cull, round_, m)
 
 
 def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:

@@ -67,3 +67,52 @@ def test_compact_points_remap_consistency():
                                        xyz[kp], atol=1e-6)
         else:
             assert new_row[kp] == -1
+
+
+def _redundant_map(n_kf=8, n_pt=100):
+    """n_kf keyframes all observing the same n_pt points — maximal
+    redundancy, every unprotected keyframe is a cull candidate."""
+    cfg = SystemConfig(
+        orb=ORBConfig(n_features=300, max_keypoints=256),
+        capacity=MapCapacity(max_keyframes=16, max_points=512))
+    m = ms.empty_map(cfg)
+    row = np.full(256, -1, np.int32)
+    row[:n_pt] = np.arange(n_pt)
+    m = m._replace(
+        pt_valid=m.pt_valid.at[:n_pt].set(True),
+        kf_valid=m.kf_valid.at[:n_kf].set(True),
+        kf_pt_idx=m.kf_pt_idx.at[:n_kf].set(jnp.asarray(row)),
+        next_kf=jnp.int32(n_kf), next_pt=jnp.int32(n_pt))
+    return ms.refresh_obs_ind(m)
+
+
+def test_cull_keyframes_multi_victim():
+    """`LocalMapping::KeyFrameCulling` removes EVERY qualifying keyframe
+    (`src/LocalMapping.cc:636-706`); the batched version removes up to
+    max_cull per call, re-evaluating redundancy between victims, and never
+    touches keyframe 0 or the two most recent."""
+    from eao_fusion_tpu.pipeline.local_mapping import cull_keyframes
+
+    m = _redundant_map()
+    m1 = cull_keyframes(m, jnp.int32(7), max_cull=1)
+    assert int(np.asarray(m1.kf_valid).sum()) == 7
+
+    m3 = cull_keyframes(m, jnp.int32(7), max_cull=3)
+    kv = np.asarray(m3.kf_valid)
+    assert kv.sum() == 5
+    # protected: keyframe 0 and the two most recent (slots 6, 7)
+    assert kv[0] and kv[6] and kv[7]
+
+
+def test_cull_keyframes_stops_when_not_redundant():
+    """Culling must stop as soon as removal would drop points below the
+    3-other-observer redundancy rule, even with budget left."""
+    from eao_fusion_tpu.pipeline.local_mapping import cull_keyframes
+
+    m = _redundant_map(n_kf=5)          # candidates: slots 1, 2 only
+    m2 = cull_keyframes(m, jnp.int32(4), max_cull=4)
+    kv = np.asarray(m2.kf_valid)
+    # after culling one, each point has 4 observers -> obs_count >= 4 still
+    # holds for the second victim; after two, 3 observers -> no candidate
+    assert kv.sum() == 3
+    assert kv[0] and kv[3] and kv[4]
