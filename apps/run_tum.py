@@ -68,6 +68,12 @@ def main(argv=None):
                          "(~gravity_aixs ROS param)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--depth-factor", type=float, default=5000.0)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="production pipelining mode: after warm-up, run "
+                         "the WHOLE per-frame pipeline on device in "
+                         "lax.scan chunks of N frames (one dispatch per "
+                         "chunk, pipeline/steady.py); loop-closure "
+                         "detection runs at chunk boundaries. RGBD only.")
     args = ap.parse_args(argv)
 
     from eao_fusion_tpu.config import tum_fr3_config
@@ -151,12 +157,72 @@ def main(argv=None):
                     depth = draw.astype(np.float32) / args.depth_factor
                 yield n, ts_img, gray, depth
 
+    chunked = 0
+    if args.chunk:
+        if sensor != "rgbd":
+            sys.exit("error: --chunk requires the RGBD pipeline")
+        if args.localization_only:
+            sys.exit("error: --chunk is a mapping mode")
+        chunked = max(2, args.chunk)
+
+    def run_chunked(frames):
+        """Steady-state chunks: frames = list of (ts, gray, depth, boxes).
+        Returns per-frame poses; loop closing at chunk boundaries."""
+        import jax
+        import jax.numpy as jnp
+        from eao_fusion_tpu.pipeline import steady
+
+        def pad_boxes(b):
+            out = np.zeros((cfg.objects.max_objects_2d, 6), np.float32)
+            if b is not None and len(b):
+                out[:min(len(b), len(out))] = b[:len(out)]
+            return out
+
+        st = steady.init_steady_state(s)
+        for lo in range(0, len(frames), chunked):
+            batch = frames[lo:lo + chunked]
+            grays = jnp.asarray(np.stack([f[1] for f in batch]))
+            depths = jnp.asarray(np.stack([f[2] for f in batch]))
+            bxs = jnp.asarray(np.stack([pad_boxes(f[3]) for f in batch]))
+            tss = jnp.asarray([f[0] for f in batch], jnp.float32)
+            kf_before = int(np.asarray(st.m.next_kf))
+            st, diag = steady.slam_chunk(st, grays, depths, bxs, tss,
+                                         cfg=cfg)
+            poses = np.asarray(diag["pose"])
+            for f, p in zip(batch, poses):
+                s.trajectory.append(p)
+                s.timestamps.append(float(f[0]))
+                s._traj_refs.append((-1, p))
+            # episodic host-side loop closing on the chunk's new keyframes
+            # (the reference's mostly-sleeping LoopClosing thread)
+            kf_after = int(np.asarray(st.m.next_kf))
+            m = st.m
+            for slot in range(kf_before, kf_after):
+                if s.loop_closer is not None:
+                    m, closed = s.loop_closer.on_keyframe(
+                        m, slot, s._next_key())
+                    if closed:
+                        s.n_loops_closed += 1
+                        st = st._replace(ts=st.ts._replace(
+                            pose=m.kf_pose[slot],
+                            last_pose=m.kf_pose[slot],
+                            kp_pt=m.kf_pt_idx[slot]))
+            st = st._replace(m=m)
+        # sync the facade for trajectory/checkpoint output
+        s.map, s.track, s.objects = st.m, st.ts, st.objs
+        s.frame_id = int(np.asarray(st.frame_id))
+        s.n_keyframes = int(np.asarray(st.m.next_kf))
+
     t0 = time.time()
+    chunk_frames = []   # frames deferred to the steady chunked path
     for n, ts_img, gray, depth in frame_iter():
         boxes = None
         if args.boxes:
             boxes = tum.read_yolo_boxes(
                 os.path.join(args.boxes, f"{ts_img:.6f}.txt"))
+        if chunked and s.n_keyframes >= 3:
+            chunk_frames.append((ts_img, gray, depth, boxes))
+            continue
         init_pose = None
         if args.gt and n == 0:
             j = int(np.argmin(np.abs(gt_ts - ts_img)))
@@ -189,6 +255,14 @@ def main(argv=None):
                     else "compiling…")
             print(f"frame {n}/{len(pairs)} kf={s.n_keyframes} "
                   f"inl={d.get('n_inliers', '-')} {rate}", flush=True)
+
+    if chunk_frames:
+        t1 = time.time()
+        run_chunked(chunk_frames)
+        dt = time.time() - t1
+        print(f"chunked: {len(chunk_frames)} frames in {dt:.2f}s "
+              f"({len(chunk_frames)/dt:.1f} fps incl. chunk compiles)",
+              flush=True)
 
     tum.write_trajectory_tum(args.out, s.timestamps, s.trajectory_tcw())
     print(f"wrote {args.out} ({len(s.trajectory)} poses, "

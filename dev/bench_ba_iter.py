@@ -39,8 +39,10 @@ def main():
     cam5 = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
             cfg.camera.bf)
 
-    # build the same COO problem local_mapping_step builds
-    kf_slot = jnp.int32(12)
+    # build the same COO problem local_mapping_step builds (newest valid
+    # keyframe — fixed slots can be culled by multi-victim KF culling)
+    kf_valid_np = np.asarray(m.kf_valid)
+    kf_slot = jnp.int32(int(np.where(kf_valid_np)[0][-1]))
     n_fixed = 8
     n_local = cfg.capacity.max_local_ba_kfs - n_fixed
     kf_idx, sel_valid, fixed, local_pts = lm._select_window(

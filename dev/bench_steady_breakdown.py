@@ -86,7 +86,7 @@ def main():
         def body(_, gd):
             f = extractor.extract_features(gd[0], gd[1], orb_cfg=cfg.orb,
                                            cam_cfg=cfg.camera)
-            return 0, f.desc.sum()
+            return 0, f.desc_pm1.sum()
         return jax.lax.scan(body, 0, (grays, depths))[1]
 
     results["extract only"] = timed(

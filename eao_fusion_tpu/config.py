@@ -258,7 +258,7 @@ class BoWConfig:
     nearest-word assignment by one ±1-bit matmul; see
     eao_fusion_tpu/mapping/vocabulary.py)."""
 
-    n_words: int = 2048
+    n_words: int = 8192
     # tf-idf weighting and L1 scoring, per DBoW2 defaults.
     use_tfidf: bool = True
 

@@ -118,8 +118,8 @@ class LoopCloser:
         return int(enough[0]) if enough else -1
 
     # ------------------------------------------------------- compute sim3
-    def compute_sim3(self, m: MapState, cur: int, cand: int, key
-                     ) -> Optional[jax.Array]:
+    def compute_sim3(self, m: MapState, cur: int, cand: int, key,
+                     debug: bool = False) -> Optional[jax.Array]:
         """Returns S (sim3 [8]) with pb(cur cam) ≈ S pa(cand cam), or None.
         (`LoopClosing::ComputeSim3`, `src/LoopClosing.cc:231-420`.)"""
         cfg = self.cfg
@@ -132,6 +132,10 @@ class LoopCloser:
         pt_b = np.asarray(m.kf_pt_idx[cur])
         pairs = [(pt_a[i], pt_b[t]) for i, t in enumerate(tgt)
                  if t >= 0 and pt_a[i] >= 0 and pt_b[t] >= 0]
+        if debug:
+            print(f"[loop]   sim3 {cand}->{cur}: n_match="
+                  f"{int((tgt >= 0).sum())} n_pairs={len(pairs)} "
+                  f"(need {cfg.loop.min_sim3_matches})", flush=True)
         if len(pairs) < cfg.loop.min_sim3_matches:
             return None
         ia = np.array([p[0] for p in pairs])
@@ -145,6 +149,10 @@ class LoopCloser:
         res = ransac.ransac_align(pa_c, pb_c, valid, key,
                                   with_scale=not cfg.loop.fix_scale_rgbd,
                                   inlier_th=0.10)
+        if debug:
+            print(f"[loop]   sim3 {cand}->{cur}: ransac inliers="
+                  f"{int(res.n_inliers)}/{len(pairs)} "
+                  f"(need {cfg.loop.sim3_min_inliers})", flush=True)
         if int(res.n_inliers) < cfg.loop.sim3_min_inliers:
             return None
         g = pose_graph.sim3_refine(pa_c, pb_c,
@@ -545,7 +553,7 @@ class LoopCloser:
         cand = self.detect(m, slot, debug=bool(dbg))
         if cand < 0:
             return m, False
-        g = self.compute_sim3(m, slot, cand, key)
+        g = self.compute_sim3(m, slot, cand, key, debug=bool(dbg))
         if dbg:
             print(f"[loop] kf{slot}: candidate {cand}, sim3 "
                   f"{'OK' if g is not None else 'REJECTED'}", flush=True)

@@ -143,7 +143,8 @@ def slam_chunk(st: SteadyState, grays: jax.Array, depths: jax.Array,
         st, diag = slam_step.__wrapped__(st, gray, depth, bx, t, cfg=cfg,
                                          kf_every=kf_every)
         return st, {"n_inliers": diag["n_inliers"],
-                    "kf_inserted": diag["kf_inserted"]}
+                    "kf_inserted": diag["kf_inserted"],
+                    "pose": st.ts.pose}
 
     return jax.lax.scan(body, st, (grays, depths, boxes, timestamps))
 
