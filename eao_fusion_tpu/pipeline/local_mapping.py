@@ -208,19 +208,30 @@ def fuse_neighbors(m: MapState, kf_slot: jax.Array, *,
 
     # compose the 2n loser->winner redirects on a [P+1] table, then
     # apply ONE full-reference remap (chains resolve because each pair's
-    # map is applied to the running composition)
+    # map enters the composition in sequence order). The fold is a
+    # BALANCED TREE — composition is associative, so log2(2n) batched
+    # [m, P+1] gathers replace 2n serial [P+1] gathers (the serial chain
+    # was ~40 dependent micro-kernels per keyframe)
     P = m.max_pt
-    total = jnp.arange(P + 1, dtype=jnp.int32)
-    pt_valid = m.pt_valid
-    for k in range(2 * n_fuse):
-        winner, loser = winners[k], losers[k]
+
+    def pair_map(winner, loser):
         r = jnp.arange(P + 1, dtype=jnp.int32).at[
             jnp.where(loser >= 0, loser, P)].set(
             jnp.where(loser >= 0, winner, P), mode="drop")
-        r = r.at[P].set(P)
-        total = r[total]
-        pt_valid = pt_valid.at[jnp.where(loser >= 0, loser, P)].set(
-            False, mode="drop")[:P]
+        return r.at[P].set(P)
+
+    R = jax.vmap(pair_map)(winners, losers)            # [2n, P+1]
+    while R.shape[0] > 1:
+        if R.shape[0] % 2:
+            R = jnp.concatenate(
+                [R, jnp.arange(P + 1, dtype=jnp.int32)[None]], axis=0)
+        # sequence order: later map applied AFTER earlier -> a[b[i]]
+        R = jax.vmap(lambda later, earlier: later[earlier])(
+            R[1::2], R[0::2])
+    total = R[0]
+    # loser invalidation is order-independent: one batched scatter
+    all_losers = jnp.where(losers >= 0, losers, P).reshape(-1)
+    pt_valid = m.pt_valid.at[all_losers].set(False, mode="drop")[:P]
     kf_pt = jnp.where(m.kf_pt_idx >= 0,
                       total[jnp.clip(m.kf_pt_idx, 0, None)],
                       m.kf_pt_idx)
@@ -375,10 +386,14 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
     e_cam = (eidx // N).astype(jnp.int32)
     e_slot = (eidx % N).astype(jnp.int32)
     lvl = m.kf_kp_level[kf_idx].reshape(-1)[eidx].astype(jnp.float32)
+    # freeze under-constrained window cameras (SolverConfig.min_cam_obs):
+    # a pose held by 2-3 reprojections slides freely while lowering chi2
+    n_obs_cam = jnp.sum(obs_ok, axis=1)
+    starved = n_obs_cam < cfg.solver.min_cam_obs
     prob = ba.BACooProblem(
         cam_pose=m.kf_pose[kf_idx],
         cam_valid=sel_valid & m.kf_valid[kf_idx],
-        cam_fixed=fixed,
+        cam_fixed=fixed | starved,
         pt_xyz=m.pt_xyz[widx],
         pt_valid=wvalid,
         obs_cam=e_cam,
@@ -399,7 +414,8 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
                        m.kf_pl_coeff[kf_idx], pl_ok)
     res = ba.bundle_adjust_coo(prob, plane_block, cam=cam5, cfg=cfg.solver,
                                n_iters1=cfg.solver.local_ba_iters_first,
-                               n_iters2=cfg.solver.local_ba_iters_second)
+                               n_iters2=cfg.solver.local_ba_iters_second,
+                               ftol=cfg.solver.local_ba_ftol)
 
     # scatter optimized poses back (only updated, valid, non-fixed slots)
     upd = sel_valid & (~fixed)

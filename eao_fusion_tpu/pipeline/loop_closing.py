@@ -489,10 +489,14 @@ class LoopCloser:
                 cfg.camera.bf)
         obs_pt = m.kf_pt_idx
         pt_ok = m.pt_valid[jnp.clip(obs_pt, 0, None)] & (obs_pt >= 0)
+        obs_ok = m.kf_kp_valid & pt_ok
+        # freeze under-constrained cameras (see SolverConfig.min_cam_obs):
+        # their pose stays where the essential graph put it
+        starved = jnp.sum(obs_ok, axis=1) < cfg.solver.min_cam_obs
         prob = ba.BAProblem(
             cam_pose=m.kf_pose,
             cam_valid=m.kf_valid,
-            cam_fixed=jnp.zeros((m.max_kf,), bool).at[0].set(True),
+            cam_fixed=starved.at[0].set(True),
             pt_xyz=m.pt_xyz,
             pt_valid=m.pt_valid,
             obs_pt=obs_pt,
@@ -500,7 +504,7 @@ class LoopCloser:
             obs_ur=m.kf_kp_uright,
             obs_inv_sigma2=cfg.orb.scale_factor ** (
                 -2.0 * m.kf_kp_level.astype(jnp.float32)),
-            obs_valid=m.kf_kp_valid & pt_ok)
+            obs_valid=obs_ok)
         plane_free = None
         if cfg.use_planes:
             # GBA plane edges with FREE plane vertices

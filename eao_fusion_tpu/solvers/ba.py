@@ -601,12 +601,12 @@ def _residuals_coo(cam_pose, pt_xyz, prob: "BACooProblem", cam):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
-                                             "n_iters2"))
+                                             "n_iters2", "ftol"))
 @f32_matmuls
 def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
                       cam: Tuple[float, ...], cfg: SolverConfig,
                       n_iters1: int = 5, n_iters2: int = 10,
-                      damping: float = 1e-3) -> BAResult:
+                      damping: float = 1e-3, ftol: float = 1e-4) -> BAResult:
     """Two-phase LM BA on the COO layout. `plane_block` =
     (plane_w [C,F,4], meas_c [C,F,4], valid [C,F]) adds fixed-plane camera
     factors as in `bundle_adjust`. Returns BAResult with obs_inlier [E]."""
@@ -744,7 +744,7 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
                             jnp.minimum(lam * 5.0, 1e3))
             improved = accept & (c_cur - c_new
-                                 >= 1e-4 * jnp.maximum(c_cur, 1e-9))
+                                 >= ftol * jnp.maximum(c_cur, 1e-9))
             stall = jnp.where(improved, 0, stall + 1)
             c_cur = jnp.where(accept, c_new, c_cur)
             return (cp, ps, lam, it + 1, stall, c_cur)
