@@ -43,6 +43,13 @@ def main(argv=None):
     ap.add_argument("--gt", default=None)
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--kitti", default=None)
+    ap.add_argument("--kf-out", default=None,
+                    help="also write the keyframe-only trajectory "
+                         "(System::SaveKeyFrameTrajectoryTUM)")
+    ap.add_argument("--viz-dir", default=None,
+                    help="write offline visual artifacts at the end: map "
+                         "top view + last-frame quadric-projection overlay "
+                         "(Pangolin viewer / DrawQuadricProject roles)")
     ap.add_argument("--mono", action="store_true")
     ap.add_argument("--stereo", action="store_true",
                     help="rectified stereo: dataset must also have "
@@ -215,7 +222,9 @@ def main(argv=None):
 
     t0 = time.time()
     chunk_frames = []   # frames deferred to the steady chunked path
+    last_gray = None
     for n, ts_img, gray, depth in frame_iter():
+        last_gray = gray
         boxes = None
         if args.boxes:
             boxes = tum.read_yolo_boxes(
@@ -270,6 +279,23 @@ def main(argv=None):
           f"relocs={s.n_relocalizations})")
     if args.kitti:
         tum.write_trajectory_kitti(args.kitti, s.trajectory_tcw())
+    if args.kf_out:
+        kf_ts, kf_tcw = s.keyframe_trajectory()
+        tum.write_trajectory_tum(args.kf_out, kf_ts, kf_tcw)
+        print(f"wrote {args.kf_out} ({len(kf_ts)} keyframes)")
+    if args.viz_dir:
+        from eao_fusion_tpu.utils import viz
+        gt_for_viz = None
+        if args.gt:
+            from eao_fusion_tpu.ops import lie as _lie
+            gt_for_viz = np.asarray(_lie.se3_inverse(gt_twc))
+        viz.draw_map_topview(os.path.join(args.viz_dir, "map_topview.png"),
+                             s, gt_for_viz)
+        if not (args.mono or args.stereo):
+            viz.draw_quadric_overlay(
+                os.path.join(args.viz_dir, "quadric_overlay.png"),
+                last_gray, s, title=f"frame {len(s.trajectory) - 1}")
+        print(f"viz -> {args.viz_dir}", flush=True)
     if args.checkpoint:
         from eao_fusion_tpu.io import checkpoint
         checkpoint.save_state(args.checkpoint, s)

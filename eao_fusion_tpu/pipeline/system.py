@@ -471,6 +471,16 @@ class System:
             self._traj_refs.append((-1, np.asarray(pose)))
 
     # ------------------------------------------------------------------
+    def keyframe_trajectory(self):
+        """(timestamps [K], tcw [K, 7]) of the surviving keyframes in
+        insertion order — `System::SaveKeyFrameTrajectoryTUM`
+        (`src/System.cc:329-365`): keyframe poses only, reflecting every
+        loop correction / GBA, culled keyframes omitted."""
+        kf_valid = np.asarray(self.map.kf_valid)
+        sel = np.where(kf_valid)[0]
+        return (np.asarray(self.map.kf_timestamp)[sel],
+                np.asarray(self.map.kf_pose)[sel])
+
     def trajectory_tcw(self, corrected: bool = False) -> np.ndarray:
         """Raw per-frame estimates, or (corrected=True) the trajectory
         re-derived through the CURRENT keyframe poses — after a loop

@@ -107,3 +107,65 @@ def draw_map_topview(path: str, system, gt_tcw: Optional[np.ndarray] = None
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path)
     plt.close(fig)
+
+
+def draw_quadric_overlay(path: str, gray: np.ndarray, system,
+                         pose: Optional[np.ndarray] = None,
+                         title: str = "") -> None:
+    """Project map-object ellipsoids into the frame as conics — the role
+    of `Tracking::DrawQuadricProject` (`src/Tracking.cc:3164`) and
+    `MapDrawer::DrawObject`'s gluSphere quadric scaled by the cuboid
+    half-axes: dual quadric Q* = T diag(1,1,1,-1) Tᵀ with T = [diag(s) c],
+    image conic C* = P Q* Pᵀ, drawn as the zero level set of x ᵀ C x."""
+    plt = _mpl()
+    cfg = system.cfg
+    m_pose = np.asarray(pose if pose is not None else system.track.pose)
+    from eao_fusion_tpu.ops import lie
+    import jax.numpy as jnp
+    R = np.asarray(lie.quat_to_rotmat(jnp.asarray(m_pose[:4])))
+    t = m_pose[4:7]
+    K = np.array([[cfg.camera.fx, 0, cfg.camera.cx],
+                  [0, cfg.camera.fy, cfg.camera.cy],
+                  [0, 0, 1.0]])
+    P = K @ np.concatenate([R, t[:, None]], axis=1)        # [3, 4]
+
+    fig, ax = plt.subplots(figsize=(8, 6), dpi=90)
+    ax.imshow(gray, cmap="gray", vmin=0, vmax=1)
+    H, W = gray.shape
+    xs, ys = np.meshgrid(np.linspace(0, W - 1, 240),
+                         np.linspace(0, H - 1, 180))
+
+    ot = getattr(system, "objects", None)
+    if ot is not None:
+        ov = np.asarray(ot.valid)
+        cmin = np.asarray(ot.cub_min)
+        cmax = np.asarray(ot.cub_max)
+        cen = np.asarray(ot.center)
+        for o in np.where(ov)[0]:
+            s = np.maximum((cmax[o] - cmin[o]) / 2.0, 1e-3)
+            Tq = np.eye(4)
+            Tq[:3, :3] = np.diag(s)
+            Tq[:3, 3] = cen[o]
+            Qs = Tq @ np.diag([1.0, 1.0, 1.0, -1.0]) @ Tq.T
+            Cs = P @ Qs @ P.T                              # dual conic [3,3]
+            # behind-camera / degenerate guard
+            xc = R @ cen[o] + t
+            if xc[2] < 0.3 or abs(np.linalg.det(Cs)) < 1e-12:
+                continue
+            Cc = np.linalg.inv(Cs)
+            Cc = Cc / np.linalg.norm(Cc)
+            val = (Cc[0, 0] * xs ** 2 + Cc[1, 1] * ys ** 2 + Cc[2, 2]
+                   + 2 * Cc[0, 1] * xs * ys + 2 * Cc[0, 2] * xs
+                   + 2 * Cc[1, 2] * ys)
+            ax.contour(xs, ys, val, levels=[0.0], colors="tab:red",
+                       linewidths=1.5)
+            u = P @ np.r_[cen[o], 1.0]
+            if u[2] > 0:
+                ax.text(u[0] / u[2], u[1] / u[2], f"obj{o}",
+                        color="tab:red", fontsize=8)
+    ax.set_title(title or "quadric projection")
+    ax.set_axis_off()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
