@@ -263,8 +263,10 @@ class MapCapacity:
     # directions run per neighbor, batched via vmap).
     fuse_neighbors: int = 10
     # Covisible neighbors for monocular triangulation
-    # (`src/LocalMapping.cc:216`: nn=20 mono).
-    triangulation_neighbors: int = 5
+    # (`src/LocalMapping.cc:216`: nn=20 mono; our keyframes are ~2x
+    # sparser than the reference's on the synthetic sequences, so 8
+    # covisible neighbors span a comparable baseline set).
+    triangulation_neighbors: int = 8
 
 
 @dataclass(frozen=True)
