@@ -46,6 +46,11 @@ def main(argv=None):
     ap.add_argument("--kf-out", default=None,
                     help="also write the keyframe-only trajectory "
                          "(System::SaveKeyFrameTrajectoryTUM)")
+    ap.add_argument("--log-jsonl", default=None,
+                    help="write one JSON line per frame (timestamp, "
+                         "inliers, keyframe count, tracking status) — the "
+                         "structured counterpart of the reference's "
+                         "[INFO]/[COST TIME] printouts")
     ap.add_argument("--viz-dir", default=None,
                     help="write offline visual artifacts at the end: map "
                          "top view + last-frame quadric-projection overlay "
@@ -196,10 +201,14 @@ def main(argv=None):
             st, diag = steady.slam_chunk(st, grays, depths, bxs, tss,
                                          cfg=cfg)
             poses = np.asarray(diag["pose"])
-            for f, p in zip(batch, poses):
+            ninl = np.asarray(diag["n_inliers"])
+            kfi = np.asarray(diag["kf_inserted"])
+            for j, (f, p) in enumerate(zip(batch, poses)):
                 s.trajectory.append(p)
                 s.timestamps.append(float(f[0]))
                 s._traj_refs.append((-1, p))
+                s.diags.append({"n_inliers": int(ninl[j]),
+                                "kf_inserted": int(kfi[j])})
             # episodic host-side loop closing on the chunk's new keyframes
             # (the reference's mostly-sleeping LoopClosing thread)
             kf_after = int(np.asarray(st.m.next_kf))
@@ -283,6 +292,15 @@ def main(argv=None):
         kf_ts, kf_tcw = s.keyframe_trajectory()
         tum.write_trajectory_tum(args.kf_out, kf_ts, kf_tcw)
         print(f"wrote {args.kf_out} ({len(kf_ts)} keyframes)")
+    if args.log_jsonl:
+        import json
+        off = len(s.timestamps) - len(s.diags)   # init frames have no diag
+        with open(args.log_jsonl, "w") as fh:
+            for i, d in enumerate(s.diags):
+                fh.write(json.dumps(
+                    {"frame": i + off,
+                     "t": round(s.timestamps[i + off], 6), **d}) + "\n")
+        print(f"wrote {args.log_jsonl} ({len(s.diags)} frame records)")
     if args.viz_dir:
         from eao_fusion_tpu.utils import viz
         gt_for_viz = None
