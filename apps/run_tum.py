@@ -21,6 +21,10 @@ import os
 import sys
 import time
 
+# allow `python apps/run_tum.py` without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import numpy as np
 
 
@@ -86,6 +90,11 @@ def main(argv=None):
                          "lax.scan chunks of N frames (one dispatch per "
                          "chunk, pipeline/steady.py); loop-closure "
                          "detection runs at chunk boundaries. RGBD only.")
+    ap.add_argument("--online", action="store_true",
+                    help="run the online YOLOX detector lane instead of "
+                         "offline --boxes files (the reference's ~online "
+                         "ROS param; weights from $EAO_YOLOX_WEIGHTS or "
+                         "data/yolox_synth.npz)")
     args = ap.parse_args(argv)
 
     from eao_fusion_tpu.config import tum_fr3_config
@@ -98,7 +107,8 @@ def main(argv=None):
         sensor=sensor,
         use_planes=not args.no_planes and sensor == "rgbd",
         use_objects=not args.no_objects,
-        use_loop_closing=not args.no_loop)
+        use_loop_closing=not args.no_loop,
+        semantic_online=args.online)
     cfg = cfg.replace(objects=dataclasses.replace(cfg.objects,
                                                   mode=args.mode))
 

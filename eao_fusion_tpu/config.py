@@ -193,6 +193,11 @@ class ObjectConfig:
     # Detector box filtering (`src/Tracking.cc:431-470`): min score, border.
     min_box_score: float = 0.5
     image_border: int = 10
+    # Online-lane class whitelist (`src/Tracking.cc:431-452` keeps only
+    # {person, ..., book} COCO ids); None = accept all classes. Applied at
+    # the detector join, not to offline box files (those are pre-filtered,
+    # matching the reference's yolo_txts parity mode).
+    class_whitelist: Optional[Tuple[int, ...]] = None
     # Ensemble association (SURVEY §2.1 Object subsystem).
     iou_threshold: float = 0.5
     projected_iou_threshold: float = 0.25

@@ -336,7 +336,9 @@ def init_params(key, depth_mult: int = 1, width_mult: float = 0.5,
     return p
 
 
-def save_params(path: str, params: Dict) -> None:
+def save_params(path: str, params: Dict, dtype=None) -> None:
+    """dtype=np.float16 halves the on-disk size (weights are re-cast to
+    f32 on load; detection is insensitive to f16 storage rounding)."""
     flat = {}
 
     def rec(prefix, d):
@@ -344,9 +346,18 @@ def save_params(path: str, params: Dict) -> None:
             if isinstance(v, dict):
                 rec(f"{prefix}{k}.", v)
             else:
-                flat[f"{prefix}{k}"] = np.asarray(v)
+                a = np.asarray(v)
+                flat[f"{prefix}{k}"] = a.astype(dtype) if dtype else a
     rec("", params)
     np.savez_compressed(path, **flat)
+
+
+def infer_arch(params: Dict) -> Tuple[int, int]:
+    """(depth_mult, n_classes) from a loaded tree — lets the runtime open
+    any width/depth/class variant without a sidecar config."""
+    n_classes = int(np.asarray(params["head8"]["cls_pred"]["w"]).shape[-1])
+    n_m = len([k for k in params["dark3_csp"] if k.startswith("m")])
+    return max(n_m // 3, 1), n_classes
 
 
 def load_params(path: str) -> Dict:
@@ -357,7 +368,7 @@ def load_params(path: str) -> Dict:
         d = params
         for part in parts[:-1]:
             d = d.setdefault(part, {})
-        d[parts[-1]] = jnp.asarray(z[key])
+        d[parts[-1]] = jnp.asarray(z[key], jnp.float32)
     return params
 
 

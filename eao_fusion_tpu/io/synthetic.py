@@ -106,17 +106,39 @@ def _voronoi_texture(r: np.random.Generator, size: int = 512,
     return out
 
 
+def _class_texture(k: int) -> np.ndarray:
+    """Canonical texture of object class k (fixed across scenes): pattern
+    style alternates blocky/voronoi and the intensity is compressed into a
+    class-specific band, so the 8 classes are separable in GRAYSCALE — the
+    property tools/train_yolox.py needs to learn the class head (random
+    per-scene textures make class labels pure noise)."""
+    rc = np.random.default_rng(1000 + k)
+    base = (_blocky_texture if k % 2 == 0 else _voronoi_texture)(rc)
+    lo = 0.08 + 0.105 * k              # class-k band: [lo, lo + 0.22]
+    return np.clip(lo + base * 0.22, 0.0, 1.0)
+
+
 def make_room_scene(seed: int = 0, n_objects: int = 4,
                     closed: bool = False,
-                    texture: str = "blocky") -> Scene:
+                    texture: str = "blocky",
+                    class_textures: bool = False) -> Scene:
     """A room in the first-camera frame (x right, y down, z forward):
     floor at y=+1.2, back wall at z=+4.5, side walls, boxes on the floor.
-    `closed` adds a wall behind the camera (needed for 360° spins)."""
+    `closed` adds a wall behind the camera (needed for 360° spins).
+
+    `class_textures` gives each object the CANONICAL texture of its class
+    id (fixed across scenes) instead of a per-scene random texture — this
+    makes class identity learnable from appearance, which the YOLOX
+    training (tools/train_yolox.py) needs; default off keeps every
+    existing render cache and test scene byte-identical."""
     r = np.random.default_rng(seed)
     tex_fn = _voronoi_texture if texture == "aperiodic" else _blocky_texture
     # the closed-room wall texture is drawn LAST so the RNG stream feeding
     # box geometry matches open-room scenes (keeps render caches valid)
     textures = [tex_fn(r) for _ in range(4 + n_objects)]
+    if class_textures:
+        for i in range(n_objects):
+            textures[4 + i] = _class_texture(i % 8)
 
     def v(*a):
         return np.array(a, np.float32)
@@ -323,6 +345,7 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
                       camera: Optional[CameraConfig] = None,
                       depth_noise: float = 0.0, n_objects: int = 4,
                       fps: float = 30.0, texture: str = "blocky",
+                      class_textures: bool = False,
                       cache_dir: Optional[str] = None) -> SyntheticSequence:
     """Render (or load from `cache_dir`) a ground-truthed RGBD sequence.
     Rendering is ~15 s/frame on a slow host CPU, so tests and benches pass a
@@ -331,11 +354,12 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     cam = camera or CameraConfig()
     closed = style in ("spin", "spin15")
     tex_tag = "" if texture == "blocky" else f"_t{texture}"
+    ct_tag = "_ct" if class_textures else ""
     key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
-           f"{tex_tag}_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
+           f"{tex_tag}{ct_tag}_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
     path = os.path.join(cache_dir, key) if cache_dir else None
     scene = make_room_scene(seed=seed, n_objects=n_objects, closed=closed,
-                            texture=texture)
+                            texture=texture, class_textures=class_textures)
     if path and os.path.exists(path):
         z = np.load(path, allow_pickle=True)
         frames = [SyntheticFrame(gray=z["gray"][i], depth=z["depth"][i],

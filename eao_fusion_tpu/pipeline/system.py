@@ -84,9 +84,19 @@ class System:
             from eao_fusion_tpu.frontend import yolox
             import os
             wpath = os.environ.get("EAO_YOLOX_WEIGHTS", "data/yolox_s.npz")
-            params = (yolox.load_params(wpath) if os.path.exists(wpath)
-                      else yolox.init_params(jax.random.PRNGKey(0)))
-            self.detector = yolox.Detector(params)
+            if not os.path.exists(wpath) and os.path.exists(
+                    "data/yolox_synth.npz"):
+                # in-repo trained weights (tools/train_yolox.py) — the
+                # zero-egress substitute for the reference's engine file
+                wpath = "data/yolox_synth.npz"
+            if os.path.exists(wpath):
+                params = yolox.load_params(wpath)
+                depth_mult, n_classes = yolox.infer_arch(params)
+            else:
+                params = yolox.init_params(jax.random.PRNGKey(0))
+                depth_mult, n_classes = 1, 80
+            self.detector = yolox.Detector(params, depth_mult=depth_mult,
+                                           n_classes=n_classes)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -239,6 +249,12 @@ class System:
         # object block, `src/Tracking.cc:1733-2177`) ----
         if self.detector is not None and boxes is None:
             boxes = self.detector.result()   # joins the async detection
+            wl = cfg.objects.class_whitelist
+            if boxes is not None and wl is not None and len(boxes):
+                # reference keeps a class whitelist on the online lane
+                # (`src/Tracking.cc:431-452`)
+                boxes = boxes[np.isin(boxes[:, 0].astype(np.int64),
+                                      np.asarray(wl))]
         new_object = False
         if (cfg.use_objects and boxes is not None and len(boxes)
                 and not loc_only
