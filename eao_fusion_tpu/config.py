@@ -182,6 +182,13 @@ class PlaneConfig:
     dedup_dist: float = 0.07
 
 
+# The reference's online-lane class filter (`src/Tracking.cc:437-441`):
+# person, handbag, suitcase, bottle, chair, couch, potted plant, bed,
+# dining table, tv, laptop, keyboard, phone, book (COCO ids).
+COCO_CLASS_WHITELIST: Tuple[int, ...] = (0, 24, 28, 39, 56, 57, 58, 59,
+                                         60, 62, 63, 66, 67, 73)
+
+
 @dataclass(frozen=True)
 class ObjectConfig:
     """EAO object subsystem thresholds (reference `src/Object.cc`)."""
@@ -194,8 +201,11 @@ class ObjectConfig:
     min_box_score: float = 0.5
     image_border: int = 10
     # Online-lane class whitelist (`src/Tracking.cc:431-452` keeps only
-    # {person, ..., book} COCO ids); None = accept all classes. Applied at
-    # the detector join, not to offline box files (those are pre-filtered,
+    # {person, ..., book} COCO ids); None = auto — the reference's 14-id
+    # COCO list (COCO_CLASS_WHITELIST) is applied when the loaded detector
+    # has 80 classes, and no filter otherwise (the in-repo synthetic
+    # detector's small class ids are unrelated to COCO). Applied at the
+    # detector join, not to offline box files (those are pre-filtered,
     # matching the reference's yolo_txts parity mode).
     class_whitelist: Optional[Tuple[int, ...]] = None
     # Ensemble association (SURVEY §2.1 Object subsystem).

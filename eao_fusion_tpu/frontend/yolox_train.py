@@ -125,6 +125,14 @@ def _letterbox_batch(gray: jax.Array, size: int) -> jax.Array:
     synthetic camera is 640x480: scale 1, bottom padding — matches
     yolox.letterbox for this geometry)."""
     b, h, w = gray.shape
+    if max(h, w) != size:
+        # this pad-only path is valid only when letterbox scale == 1;
+        # any other camera would silently mismatch yolox.letterbox's
+        # resize and the pixel-space targets from build_targets
+        raise ValueError(
+            f"_letterbox_batch requires max(h, w) == {size} (scale-1 "
+            f"letterbox); got {h}x{w} — resize the training images or "
+            f"generalize this function first")
     img = jnp.pad(gray, ((0, 0), (0, size - h), (0, size - w)),
                   constant_values=PAD_VAL)
     return jnp.repeat(img[..., None], 3, axis=-1)
@@ -212,8 +220,8 @@ def evaluate(params: Dict, depth_mult: int, n_classes: int,
 
 def train(train_seqs, val_seq, *, n_classes: int = 8, width_mult: float = 0.25,
           depth_mult: int = 1, batch: int = 8, n_steps: int = 1200,
-          seed: int = 0, log=print) -> Dict:
-    """Full training run; returns the trained param tree."""
+          seed: int = 0, log=print) -> Tuple[Dict, Dict[str, float]]:
+    """Full training run; returns (trained param tree, held-out metrics)."""
     data_h = build_dataset(train_seqs, n_classes)
     log(f"dataset: {data_h['gray'].shape[0]} images "
         f"(pos cells/img {data_h['pos'].sum(1).mean():.1f})")

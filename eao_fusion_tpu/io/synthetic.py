@@ -174,6 +174,60 @@ def make_room_scene(seed: int = 0, n_objects: int = 4,
     return Scene(rects, boxes, np.stack(textures))
 
 
+def make_corridor_scene(seed: int = 0, length_m: float = 15.0,
+                        segment_m: float = 3.0, half_width: float = 1.5,
+                        n_objects: int = 4) -> Scene:
+    """A long corridor along +z for EXPLORATORY (non-revisiting)
+    trajectories: floor + left/right wall segments every `segment_m`, each
+    with its OWN texture so new wall area keeps producing fresh, unambiguous
+    features (one stretched texture would starve FAST of detail and alias
+    revisit checks). Boxes sit along the walls. Used by the unbounded-
+    keyframe-lifecycle tests: the camera never revisits, so keyframes are
+    never redundant and lifetime insertions exceed any fixed table size."""
+    r = np.random.default_rng(seed)
+    n_seg = int(np.ceil(length_m / segment_m)) + 1
+
+    def v(*a):
+        return np.array(a, np.float32)
+
+    textures = []
+    rects = []
+    for i in range(n_seg):
+        z0 = -1.0 + i * segment_m
+        for (origin, eu, ev) in (
+                # floor segment
+                (v(-half_width, 1.2, z0), v(2 * half_width, 0, 0),
+                 v(0, 0, segment_m)),
+                # left wall segment
+                (v(-half_width, -2.0, z0), v(0, 0, segment_m),
+                 v(0, 3.2, 0)),
+                # right wall segment
+                (v(half_width, -2.0, z0), v(0, 0, segment_m),
+                 v(0, 3.2, 0))):
+            tex_fn = _blocky_texture if (len(textures) % 2 == 0) \
+                else _voronoi_texture
+            textures.append(tex_fn(r))
+            rects.append(RectPrim(origin, eu, ev, len(textures) - 1))
+    # far end wall
+    textures.append(_voronoi_texture(r))
+    z_end = -1.0 + n_seg * segment_m
+    rects.append(RectPrim(v(-half_width, -2.0, z_end),
+                          v(2 * half_width, 0, 0), v(0, 3.2, 0),
+                          len(textures) - 1))
+    boxes = []
+    for i in range(n_objects):
+        cz = r.uniform(1.0, length_m - 1.0)
+        side = 1 if i % 2 == 0 else -1
+        w, h, d = r.uniform(0.3, 0.5, 3)
+        cx = side * (half_width - 0.4)
+        y_bottom = r.uniform(0.6, 0.95)
+        lo = v(cx - w / 2, y_bottom - h, cz - d / 2)
+        hi = v(cx + w / 2, y_bottom, cz + d / 2)
+        textures.append(_blocky_texture(r))
+        boxes.append(BoxPrim(lo, hi, len(textures) - 1, class_id=i % 8))
+    return Scene(rects, boxes, np.stack(textures))
+
+
 # ---------------------------------------------------------------- ray casting
 
 def _intersect_rects(o, d, rects) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -322,6 +376,14 @@ def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
             tz = 0.15 * (1 - np.cos(ang))
             yaw = ang
             pitch = 0.0
+        elif style == "corridor":
+            # non-revisiting forward exploration: constant 5 cm/frame
+            # along +z with gentle sway/yaw (see make_corridor_scene)
+            tx = 0.25 * np.sin(i * 0.05)
+            ty = 0.05 * np.sin(i * 0.083)
+            tz = 0.05 * i
+            yaw = 0.12 * np.sin(i * 0.05 + 1.0)
+            pitch = 0.03 * np.sin(i * 0.031)
         elif style == "spin15":
             # 1.5 turns: the last third re-traverses already-mapped walls,
             # giving the loop detector several consecutive revisit keyframes
@@ -358,8 +420,14 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
            f"{tex_tag}{ct_tag}_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
     path = os.path.join(cache_dir, key) if cache_dir else None
-    scene = make_room_scene(seed=seed, n_objects=n_objects, closed=closed,
-                            texture=texture, class_textures=class_textures)
+    if style == "corridor":
+        scene = make_corridor_scene(seed=seed,
+                                    length_m=0.05 * n_frames + 4.0,
+                                    n_objects=n_objects)
+    else:
+        scene = make_room_scene(seed=seed, n_objects=n_objects,
+                                closed=closed, texture=texture,
+                                class_textures=class_textures)
     if path and os.path.exists(path):
         z = np.load(path, allow_pickle=True)
         frames = [SyntheticFrame(gray=z["gray"][i], depth=z["depth"][i],

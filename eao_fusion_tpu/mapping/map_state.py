@@ -366,6 +366,139 @@ def compact_points(m: MapState) -> MapState:
     return refresh_obs_ind(m), remap
 
 
+def compact_keyframes(m: MapState) -> Tuple[MapState, jax.Array]:
+    """Compact valid keyframes into the table prefix, preserving insertion
+    order, and remap every keyframe-slot reference. Slots freed by keyframe
+    culling (`local_mapping.cull_keyframes`) become reusable, so LIFETIME
+    keyframe insertions are unbounded — the dense-table equivalent of the
+    reference's erase-forever pointer graph (`src/KeyFrame.cc:489`
+    SetBadFlag + `src/LocalMapping.cc:636` culling; the reference's mnId
+    grows without bound while memory is reclaimed per-KF).
+
+    Remapped in-table: every kf_* row table, obs_ind rows, pt_ref_kf and
+    pl_ref_kf values, next_kf. A point/plane whose reference keyframe was
+    culled is re-anchored to its first surviving observer (the reference's
+    `mpRefKF = mObservations.begin()->first` on erase,
+    `src/MapPoint.cc:~erase paths`); one with NO surviving observer is
+    invalidated (it has no constraints left).
+
+    HOST STATE IS NOT TOUCHED: callers (System._maybe_compact_keyframes)
+    must remap TrackState.ref_kf, LoopCloser bow/edges/groups, and
+    trajectory references with the returned remap ([K] int32, -1 for
+    dropped slots)."""
+    K = m.max_kf
+    alive = m.kf_valid
+    new_idx = jnp.cumsum(alive.astype(jnp.int32)) - 1        # [K]
+    remap = jnp.where(alive, new_idx, -1)
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    tgt = jnp.where(alive, new_idx, K)
+
+    def scat(x, fill):
+        out = jnp.full_like(x, fill)
+        return out.at[tgt].set(x, mode="drop")
+
+    ident_pose = jnp.tile(jnp.array([1, 0, 0, 0, 0, 0, 0], jnp.float32),
+                          (K, 1))
+    m2 = m._replace(
+        kf_pose=ident_pose.at[tgt].set(m.kf_pose, mode="drop"),
+        kf_valid=jnp.arange(K) < n_alive,
+        kf_frame_id=scat(m.kf_frame_id, -1),
+        kf_timestamp=scat(m.kf_timestamp, 0.0),
+        kf_kp_uv=scat(m.kf_kp_uv, 0.0),
+        kf_kp_level=scat(m.kf_kp_level, 0),
+        kf_kp_angle=scat(m.kf_kp_angle, 0.0),
+        kf_kp_depth=scat(m.kf_kp_depth, 0.0),
+        kf_kp_uright=scat(m.kf_kp_uright, -1.0),
+        kf_kp_valid=scat(m.kf_kp_valid, False),
+        kf_desc_pm1=scat(m.kf_desc_pm1, 0),
+        kf_pt_idx=scat(m.kf_pt_idx, -1),
+        kf_pl_coeff=scat(m.kf_pl_coeff, 0.0),
+        kf_pl_idx=scat(m.kf_pl_idx, -1),
+        obs_ind=scat(m.obs_ind, False),
+        next_kf=n_alive,
+    )
+
+    # --- re-anchor point references ------------------------------------
+    ref = m.pt_ref_kf
+    ref_live = (ref >= 0) & alive[jnp.clip(ref, 0, None)]
+    new_ref = jnp.where(ref_live, remap[jnp.clip(ref, 0, None)], -1)
+    Zc = m2.obs_ind & m2.kf_valid[:, None]                   # [K, P]
+    has_obs = jnp.any(Zc, axis=0)
+    first_obs = jnp.argmax(Zc, axis=0).astype(jnp.int32)
+    new_ref = jnp.where(new_ref >= 0, new_ref,
+                        jnp.where(has_obs, first_obs, -1))
+    pt_valid = m.pt_valid & (new_ref >= 0)
+
+    # --- re-anchor plane references (observers from kf_pl_idx) ----------
+    L = m.pl_coeff.shape[0]
+    F = m.kf_pl_idx.shape[1]
+    pl_tgt = jnp.where((m2.kf_pl_idx >= 0) & m2.kf_valid[:, None],
+                       m2.kf_pl_idx, L)
+    rows = jnp.repeat(jnp.arange(K, dtype=jnp.int32), F)
+    pl_ind = jnp.zeros((K, L + 1), bool).at[
+        rows, pl_tgt.reshape(-1)].set(True)[:, :L]           # [K, L]
+    pl_has = jnp.any(pl_ind, axis=0)
+    pl_first = jnp.argmax(pl_ind, axis=0).astype(jnp.int32)
+    pref = m.pl_ref_kf
+    pref_live = (pref >= 0) & alive[jnp.clip(pref, 0, None)]
+    new_pref = jnp.where(pref_live, remap[jnp.clip(pref, 0, None)], -1)
+    new_pref = jnp.where(new_pref >= 0, new_pref,
+                         jnp.where(pl_has, pl_first, -1))
+    pl_valid = m.pl_valid & (new_pref >= 0)
+
+    m2 = m2._replace(pt_ref_kf=jnp.where(m.pt_valid, new_ref, -1),
+                     pt_valid=pt_valid,
+                     pl_ref_kf=jnp.where(m.pl_valid, new_pref, -1),
+                     pl_valid=pl_valid)
+    # points invalidated above must also leave the observation tables
+    kf_pt = m2.kf_pt_idx
+    kf_pt = jnp.where((kf_pt >= 0)
+                      & pt_valid[jnp.clip(kf_pt, 0, None)], kf_pt, -1)
+    m2 = m2._replace(kf_pt_idx=kf_pt)
+    return refresh_obs_ind(m2), remap
+
+
+def evict_keyframes(m: MapState, n_evict: int,
+                    protect_recent: int = 10,
+                    min_covis_protect: float = 15.0) -> MapState:
+    """Capacity eviction: invalidate up to `n_evict` keyframes that are
+    least relevant to the CURRENT mapping window. Called only when the
+    table is nearly full of live keyframes and redundancy culling freed
+    nothing (a non-revisiting exploratory trajectory) — the fixed-capacity
+    analogue of a sliding window: tracking/local mapping only ever touch
+    the covisible window, so distant old keyframes can be dropped at the
+    cost of loop-closure coverage of the evicted region (unavoidable with
+    bounded tables; the reference instead grows memory without bound).
+
+    HARD-protected: the `protect_recent` most recent keyframes (the active
+    tracking/mapping window must survive). Everything else is scored by
+    its strongest covisibility tie to that recent window — lowest first,
+    oldest on ties — so distant disconnected keyframes go long before
+    window-covisible ones, but eviction always frees the requested slots
+    (the caller only asks when the table is genuinely full). Landmarks
+    that lose their last observer are reclaimed by the following
+    compact_keyframes call."""
+    del min_covis_protect   # superseded by the soft covisibility score
+    K = m.max_kf
+    Z = (m.obs_ind & m.kf_valid[:, None]).astype(jnp.float32)
+    covis = Z @ Z.T                                           # [K, K]
+    idx = jnp.arange(K)
+    order_rank = jnp.where(m.kf_valid, idx, -1)
+    recent_cut = jnp.sort(order_rank)[K - protect_recent]
+    protected = m.kf_valid & (idx >= recent_cut)
+    # relevance = strongest tie to the protected (recent) window
+    rel = jnp.max(jnp.where(protected[None, :], covis, -1.0), axis=1)
+    # evict lowest relevance, oldest first on ties (rel is integer-valued
+    # shared-point counts, so a 1e4 scale keeps idx strictly a tie-break)
+    score = rel * 1e4 + idx.astype(jnp.float32)
+    score = jnp.where(m.kf_valid & (~protected), score, jnp.inf)
+    victim_score, victims = jax.lax.top_k(-score, n_evict)
+    ok = victim_score > -jnp.inf
+    kf_valid = m.kf_valid.at[jnp.where(ok, victims, K)].set(
+        False, mode="drop")
+    return m._replace(kf_valid=kf_valid)
+
+
 def update_point_stats(m: MapState) -> MapState:
     """Batched recomputation of per-point aggregates from all observations:
     mean viewing normal. Replaces `MapPoint::UpdateNormalAndDepth`

@@ -46,6 +46,34 @@ class LoopCloser:
         # (`KeyFrame::GetLoopEdges`, `src/Optimizer.cc:1287-1311`)
         self.loop_edges: List[Tuple[int, int]] = []
 
+    # ------------------------------------------------------------ remap
+    def apply_kf_remap(self, remap: np.ndarray) -> None:
+        """Keyframe-slot compaction support (map_state.compact_keyframes):
+        move bow rows to their new slots and remap/drop slot references in
+        the consistency state. remap[k] = new slot of old slot k, -1 if the
+        keyframe was culled/evicted."""
+        K = self.bow.shape[0]
+        tgt = jnp.asarray(np.where(remap >= 0, remap, K))
+        self.bow = jnp.zeros_like(self.bow).at[tgt].set(
+            self.bow, mode="drop")
+        self.loop_edges = [(int(remap[a]), int(remap[b]))
+                           for a, b in self.loop_edges
+                           if remap[a] >= 0 and remap[b] >= 0]
+        new_groups = []
+        for grp, cnt in self.consistent_groups:
+            g2 = {int(remap[x]) for x in grp if remap[x] >= 0}
+            if g2:
+                new_groups.append((g2, cnt))
+        self.consistent_groups = new_groups
+        if self.last_loop_kf >= 0:
+            r = int(remap[self.last_loop_kf])
+            if r < 0:
+                # nearest earlier surviving keyframe keeps the "no loops
+                # right after a loop" gate approximately in force
+                earlier = remap[:self.last_loop_kf + 1]
+                r = int(earlier.max()) if (earlier >= 0).any() else -10**9
+            self.last_loop_kf = r
+
     # ---------------------------------------------------------------- bow
     def add_keyframe_bow(self, m: MapState, slot: int) -> None:
         v = vocabulary.bow_vector(self.vocab,
@@ -538,8 +566,25 @@ class LoopCloser:
         pts = jnp.where(m.pt_valid[:, None], res.pt_xyz, m.pt_xyz)
         m = m._replace(kf_pose=poses, pt_xyz=pts)
         if plane_free is not None:
-            m = m._replace(pl_coeff=jnp.where(m.pl_valid[:, None],
-                                              res.pl_coeff, m.pl_coeff))
+            new_coeff = jnp.where(m.pl_valid[:, None], res.pl_coeff,
+                                  m.pl_coeff)
+            # keep boundary clouds ON their optimized planes (the
+            # reference's `MapPlane::UpdateBoundary`,
+            # `/root/reference/src/MapPlane.cc:150`, keeps boundaries
+            # current as coefficients move): project each boundary point
+            # onto the new plane — GBA's coefficient moves are small, so
+            # the orthogonal projection is the consistent minimal update.
+            # Both frame association and loop-time plane fusion measure
+            # boundary-to-plane distances; without this the clouds drift
+            # off their planes across repeated closures.
+            nrm = new_coeff[:, :3]                        # unit (retract)
+            off = (jnp.einsum("lbi,li->lb", m.pl_boundary, nrm)
+                   + new_coeff[:, 3][:, None])            # [L, B]
+            bnd = m.pl_boundary - off[..., None] * nrm[:, None, :]
+            keep = m.pl_valid[:, None, None] \
+                & m.pl_boundary_valid[..., None]
+            m = m._replace(pl_coeff=new_coeff,
+                           pl_boundary=jnp.where(keep, bnd, m.pl_boundary))
         return m
 
     # ------------------------------------------------------------ driver

