@@ -1,0 +1,162 @@
+"""fr3_long_office-scale end-to-end run at PRODUCTION capacities
+(round-3 verdict item 2): ~2500 frames (4 replayed laps of the closed
+"tour" trajectory — full 360° yaw per lap, so every lap triggers genuine
+loop-closure events), planes + objects + loop closing ON, production
+tables (256 KF / 16384 pts), chunked steady-state mode on the real TPU.
+
+Reports ONE JSON line: sustained fps INCLUDING loop-closure events and
+async-GBA merges, per-chunk latency distribution (p50/p99 frame time),
+peak table occupancy, lifetime keyframe insertions (must exceed the
+256-slot table — exercising compaction/eviction at scale), loop closures,
+and final ATE.
+
+Run (TPU): python dev/run_fr3_scale.py [--laps 4] [--chunk 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--laps", type=int, default=4)
+    ap.add_argument("--lap-frames", type=int, default=625)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--no-objects", action="store_true")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from eao_fusion_tpu.config import SystemConfig
+    from eao_fusion_tpu.io import synthetic, tum
+    from eao_fusion_tpu.pipeline import steady
+    from eao_fusion_tpu.pipeline.system import System
+
+    log(f"[{time.time()-t0:.1f}s] devices: {jax.devices()}")
+    cfg = SystemConfig(use_planes=not args.no_planes,
+                       use_objects=not args.no_objects)
+
+    seq = synthetic.generate_sequence(n_frames=args.lap_frames, seed=0,
+                                      style="tour",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
+    order = list(range(args.lap_frames)) * args.laps
+    n_total = len(order)
+    log(f"[{time.time()-t0:.1f}s] sequence ready: {n_total} frames "
+        f"({args.laps} laps x {args.lap_frames})")
+
+    s = System(cfg)
+    n_warm = 12
+    for k in range(n_warm):
+        f = seq.frames[order[k]]
+        s.process_frame(f.gray, f.depth, timestamp=k / 30.0,
+                        boxes=f.boxes)
+    log(f"[{time.time()-t0:.1f}s] warm-up: kf={s.n_keyframes} "
+        f"pts={int(s.map.next_pt)}")
+
+    def pad_boxes(b):
+        out = np.zeros((cfg.objects.max_objects_2d, 6), np.float32)
+        if b is not None and len(b):
+            out[:min(len(b), len(out))] = b[:len(out)]
+        return out
+
+    st = steady.init_steady_state(s)
+    chunk = args.chunk
+    chunk_times = []
+    lifetime_kf = s.n_keyframes
+    peak_kf_live = peak_pts = 0
+    t_first_chunk = None
+    poses_all = []
+    gba_merges = 0
+
+    t_run0 = time.time()
+    for lo in range(n_warm, n_total, chunk):
+        idxs = order[lo:lo + chunk]
+        if len(idxs) < chunk:
+            break
+        tc0 = time.time()
+        grays = jnp.asarray(np.stack([seq.frames[i].gray for i in idxs]))
+        depths = jnp.asarray(np.stack([seq.frames[i].depth for i in idxs]))
+        bxs = jnp.asarray(np.stack([pad_boxes(seq.frames[i].boxes)
+                                    for i in idxs]))
+        tss = jnp.asarray([(lo + j) / 30.0 for j in range(len(idxs))],
+                          jnp.float32)
+        kf_before = int(np.asarray(st.m.next_kf))
+        st, diag = steady.slam_chunk(st, grays, depths, bxs, tss, cfg=cfg)
+        poses_all.append(np.asarray(diag["pose"]))
+        kf_after = int(np.asarray(st.m.next_kf))
+        lifetime_kf += kf_after - kf_before
+        m = st.m
+        for slot in range(kf_before, kf_after):
+            m, closed = s.loop_closer.on_keyframe(m, slot, s._next_key())
+            if closed:
+                s.n_loops_closed += 1
+                st = st._replace(ts=st.ts._replace(
+                    pose=m.kf_pose[slot], last_pose=m.kf_pose[slot],
+                    kp_pt=m.kf_pt_idx[slot]))
+        s.map, s.track = m, st.ts
+        if s._poll_gba():
+            gba_merges += 1
+        s._maybe_compact_keyframes()
+        st = st._replace(m=s.map, ts=s.track)
+        dt = time.time() - tc0
+        if t_first_chunk is None:
+            t_first_chunk = dt          # includes the chunk compile
+        else:
+            chunk_times.append(dt)
+        peak_kf_live = max(peak_kf_live,
+                           int(np.asarray(st.m.kf_valid).sum()))
+        peak_pts = max(peak_pts, int(np.asarray(st.m.pt_valid).sum()))
+        if (lo - n_warm) % (chunk * 40) == 0:
+            done = lo + chunk - n_warm
+            el = time.time() - t_run0
+            log(f"[{time.time()-t0:.1f}s] frame {lo+chunk}/{n_total} "
+                f"kf_next={kf_after} live={peak_kf_live} "
+                f"pts={peak_pts} loops={s.n_loops_closed} "
+                f"({done/el:.1f} fps avg)")
+
+    s._poll_gba(blocking=True)
+    ct = np.array(chunk_times)
+    n_timed = len(ct) * chunk
+    fps = n_timed / ct.sum()
+    per_frame_ms = ct / chunk * 1000.0
+
+    est = np.concatenate(poses_all)
+    gt = np.stack([seq.frames[i].tcw for i in order[n_warm:n_warm + len(est)]])
+    err = tum.evaluate_ate_rpe(est, gt)
+    out = {
+        "metric": "fr3scale_fps", "value": round(float(fps), 2),
+        "unit": "fps", "vs_baseline": round(float(fps) / 30.0, 2),
+        "frames": int(n_timed),
+        "ate_cm": round(float(err.ate_rmse) * 100, 2),
+        "loops_closed": int(s.n_loops_closed),
+        "gba_merges": int(gba_merges),
+        "lifetime_kf_insertions": int(lifetime_kf),
+        "peak_kf_live": int(peak_kf_live),
+        "peak_points": int(peak_pts),
+        "p50_frame_ms": round(float(np.percentile(per_frame_ms, 50)), 2),
+        "p99_frame_ms": round(float(np.percentile(per_frame_ms, 99)), 2),
+        "max_frame_ms": round(float(per_frame_ms.max()), 2),
+    }
+    log(f"[{time.time()-t0:.1f}s] done: {out}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -251,6 +251,16 @@ class LoopConfig:
     min_accept_matches: int = 40
     fix_scale_rgbd: bool = True
     pose_graph_iters: int = 20
+    # Global BA OFF the critical path (the reference's transient GBA
+    # thread with the mbStopGBA abort interlock,
+    # `src/LoopClosing.cc:594,686-796`): correct() returns after the
+    # essential graph and GBA runs on a snapshot in a host thread, in
+    # stages of `gba_stage_iters` LM iterations (one device program per
+    # stage, so frame steps interleave between stages and an abort takes
+    # effect at the next stage boundary). Keyframes/points created while
+    # GBA is in flight are merged through the spanning tree afterwards.
+    async_gba: bool = True
+    gba_stage_iters: int = 5
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,8 @@ def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
 
 def save_state(path: str, system) -> None:
     """Serialize a pipeline.system.System's device state."""
+    if hasattr(system, "_poll_gba"):
+        system._poll_gba(blocking=True)   # fold in any in-flight GBA
     payload: Dict[str, Any] = {}
     payload.update(_flatten("map", system.map))
     payload.update(_flatten("objects", system.objects))

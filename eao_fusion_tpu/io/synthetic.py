@@ -107,15 +107,25 @@ def _voronoi_texture(r: np.random.Generator, size: int = 512,
 
 
 def _class_texture(k: int) -> np.ndarray:
-    """Canonical texture of object class k (fixed across scenes): pattern
-    style alternates blocky/voronoi and the intensity is compressed into a
-    class-specific band, so the 8 classes are separable in GRAYSCALE — the
-    property tools/train_yolox.py needs to learn the class head (random
-    per-scene textures make class labels pure noise)."""
+    """Canonical texture of object class k (fixed across scenes), so the 8
+    classes are separable in GRAYSCALE — the property tools/train_yolox.py
+    needs to learn the class head (random per-scene textures make class
+    labels pure noise).
+
+    The class signature is SPATIAL — square-wave stripes whose period
+    (k//2 -> {12, 20, 32, 52} px) and orientation (k%2 -> 0°/90°) encode
+    the class — because spatial structure survives the training-time
+    photometric jitter; the previous intensity-band encoding did not
+    (±0.1 brightness / 0.8-1.2 contrast jitter shifts a band by about a
+    full class step, which capped held-out class accuracy at 0.65)."""
     rc = np.random.default_rng(1000 + k)
     base = (_blocky_texture if k % 2 == 0 else _voronoi_texture)(rc)
-    lo = 0.08 + 0.105 * k              # class-k band: [lo, lo + 0.22]
-    return np.clip(lo + base * 0.22, 0.0, 1.0)
+    size = base.shape[0]
+    period = (12.0, 20.0, 32.0, 52.0)[(k // 2) % 4]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    coord = xx if k % 2 == 0 else yy
+    stripe = (np.sin(2.0 * np.pi * coord / period) > 0).astype(np.float32)
+    return np.clip(0.15 + 0.4 * base + 0.45 * stripe, 0.0, 1.0)
 
 
 def make_room_scene(seed: int = 0, n_objects: int = 4,
@@ -384,6 +394,19 @@ def make_trajectory(n_frames: int, style: str = "arc") -> np.ndarray:
             tz = 0.05 * i
             yaw = 0.12 * np.sin(i * 0.05 + 1.0)
             pitch = 0.03 * np.sin(i * 0.031)
+        elif style == "tour":
+            # one closed LAP around the room with a full 360° yaw: mid-lap
+            # views face away from the start (covisibility breaks, so a
+            # revisit is a genuine loop-closure event), and the trajectory
+            # is 2π-periodic/smooth at the wrap so the lap can be REPLAYED
+            # k times for fr3_long_office-scale sequences (the renderer
+            # cost is one lap; the engine sees n_frames * k frames).
+            ang = 2 * np.pi * s
+            tx = 0.5 * np.sin(ang)
+            ty = 0.04 * np.sin(2 * ang)
+            tz = 0.5 * (1 - np.cos(ang))
+            yaw = ang
+            pitch = 0.0
         elif style == "spin15":
             # 1.5 turns: the last third re-traverses already-mapped walls,
             # giving the loop detector several consecutive revisit keyframes
@@ -414,9 +437,9 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     cache directory keyed on all generation parameters."""
     import os
     cam = camera or CameraConfig()
-    closed = style in ("spin", "spin15")
+    closed = style in ("spin", "spin15", "tour")
     tex_tag = "" if texture == "blocky" else f"_t{texture}"
-    ct_tag = "_ct" if class_textures else ""
+    ct_tag = "_ct2" if class_textures else ""   # v2: stripe-coded classes
     key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
            f"{tex_tag}{ct_tag}_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
     path = os.path.join(cache_dir, key) if cache_dir else None

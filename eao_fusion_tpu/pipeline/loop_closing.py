@@ -45,6 +45,12 @@ class LoopCloser:
         # loop edges of accepted closures, kept for later essential graphs
         # (`KeyFrame::GetLoopEdges`, `src/Optimizer.cc:1287-1311`)
         self.loop_edges: List[Tuple[int, int]] = []
+        # asynchronous GBA state (see the "async GBA" section below)
+        self._gba_thread = None
+        self._gba_abort = None
+        self._gba_out = None
+        self._gba_snap = None
+        self._gba_pt_map = None
 
     # ------------------------------------------------------------ remap
     def apply_kf_remap(self, remap: np.ndarray) -> None:
@@ -263,7 +269,12 @@ class LoopCloser:
                                   loop_pairs)
 
         # ---- global BA (`RunGlobalBundleAdjustment`) --------------------
-        m = self._global_ba(m)
+        if self.cfg.loop.async_gba:
+            # off the critical path: the frame stream continues on the
+            # post-essential-graph map; poll_gba merges the result later
+            self.launch_gba_async(m)
+        else:
+            m = self._global_ba(m)
         self.last_loop_kf = cur
         self.consistent_groups = []
         return m
@@ -511,10 +522,11 @@ class LoopCloser:
                                       m.pl_boundary))
         return m
 
-    def _global_ba(self, m: MapState) -> MapState:
+    # ------------------------------------------------------- global BA
+    def _build_gba_problem(self, m: MapState):
+        """Problem construction shared by the synchronous and asynchronous
+        GBA paths. Returns (prob, plane_free)."""
         cfg = self.cfg
-        cam5 = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
-                cfg.camera.bf)
         obs_pt = m.kf_pt_idx
         pt_ok = m.pt_valid[jnp.clip(obs_pt, 0, None)] & (obs_pt >= 0)
         obs_ok = m.kf_kp_valid & pt_ok
@@ -544,28 +556,74 @@ class LoopCloser:
                 pl_coeff=m.pl_coeff, pl_free=m.pl_valid,
                 obs_pl=jnp.where(pl_ok, pl_idx, -1),
                 obs_meas=m.kf_pl_coeff, obs_valid=pl_ok)
+        return prob, plane_free
+
+    def _gba_stage(self, prob, plane_free, n1: int, n2: int):
+        """One GBA dispatch of (n1 phase-1 + n2 phase-2) LM iterations —
+        routed to the observation-sharded distributed solver when a mesh
+        is configured, the single-device Schur solver otherwise."""
+        cfg = self.cfg
+        cam5 = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
+                cfg.camera.bf)
         n_dist = cfg.gba_mesh_devices
         if (n_dist > 1 and len(jax.devices()) >= n_dist
-                and m.pt_xyz.shape[0] % n_dist == 0):
+                and prob.pt_xyz.shape[0] % n_dist == 0):
             # observation-sharded distributed GBA over the ``lm`` mesh:
             # per-device compute ~1/n, camera system psum-reduced
             from eao_fusion_tpu.parallel import dist_ba, mesh as mesh_util
             lm_mesh = mesh_util.make_mesh(n_landmark=n_dist)
-            res = dist_ba.distributed_bundle_adjust(
+            return dist_ba.distributed_bundle_adjust(
                 prob, lm_mesh, plane_free=plane_free,
-                cam=cam5, cfg=cfg.solver,
-                n_iters1=cfg.solver.global_ba_iters // 2,
-                n_iters=cfg.solver.global_ba_iters // 2)
-        else:
-            res = ba.bundle_adjust(prob, plane_free=plane_free,
-                                   cam=cam5, cfg=cfg.solver,
-                                   n_iters1=cfg.solver.global_ba_iters // 2,
-                                   n_iters2=cfg.solver.global_ba_iters // 2,
-                                   pt_chunk=2048)
+                cam=cam5, cfg=cfg.solver, n_iters1=n1, n_iters=n2)
+        return ba.bundle_adjust(prob, plane_free=plane_free,
+                                cam=cam5, cfg=cfg.solver,
+                                n_iters1=n1, n_iters2=n2, pt_chunk=2048)
+
+    def _run_gba_stages(self, prob, plane_free, abort=None):
+        """Run the production (phase1, outlier gate, phase2) GBA schedule
+        as a sequence of short device programs of `gba_stage_iters` LM
+        iterations each. Between stages the host yields, so concurrently
+        dispatched frame steps interleave on the device and an abort
+        (the reference's mbStopGBA interlock) takes effect at the next
+        stage boundary. Returns the last stage's BAResult (None if
+        aborted before the first stage completed)."""
+        scfg = self.cfg.solver
+        total = scfg.global_ba_iters
+        n1_total = total // 2
+        stage = max(1, self.cfg.loop.gba_stage_iters)
+        res = None
+        done1 = done2 = 0
+        while done1 < n1_total or done2 < total - n1_total:
+            if abort is not None and abort.is_set():
+                break
+            if done1 < n1_total:
+                n1 = min(stage, n1_total - done1)
+                n2 = 0
+                done1 += n1
+            else:
+                n1 = 0
+                n2 = min(stage, total - n1_total - done2)
+                done2 += n2
+            res = self._gba_stage(prob, plane_free, n1, n2)
+            jax.block_until_ready(res.cam_pose)
+            prob = prob._replace(cam_pose=res.cam_pose, pt_xyz=res.pt_xyz)
+            if plane_free is not None:
+                plane_free = plane_free._replace(pl_coeff=res.pl_coeff)
+        return res
+
+    def _global_ba(self, m: MapState) -> MapState:
+        """Synchronous GBA (`RunGlobalBundleAdjustment` inline): build,
+        solve, apply. The async path (launch_gba_async/poll_gba) uses the
+        same builder and stage runner on a snapshot instead."""
+        prob, plane_free = self._build_gba_problem(m)
+        res = self._run_gba_stages(prob, plane_free)
+        return self._apply_gba(m, res, plane_free is not None)
+
+    def _apply_gba(self, m: MapState, res, with_planes: bool) -> MapState:
         poses = jnp.where(m.kf_valid[:, None], res.cam_pose, m.kf_pose)
         pts = jnp.where(m.pt_valid[:, None], res.pt_xyz, m.pt_xyz)
         m = m._replace(kf_pose=poses, pt_xyz=pts)
-        if plane_free is not None:
+        if with_planes:
             new_coeff = jnp.where(m.pl_valid[:, None], res.pl_coeff,
                                   m.pl_coeff)
             # keep boundary clouds ON their optimized planes (the
@@ -586,6 +644,190 @@ class LoopCloser:
             m = m._replace(pl_coeff=new_coeff,
                            pl_boundary=jnp.where(keep, bnd, m.pl_boundary))
         return m
+
+    # ------------------------------------------------------ async GBA
+    # The reference runs GBA in a transient thread with an abort interlock
+    # and merges its output into a map that kept growing meanwhile
+    # (`src/LoopClosing.cc:594, 686-796`, mbStopGBA / mTcwGBA / mPosGBA).
+    # Here: GBA runs on a map SNAPSHOT (device arrays are immutable, so the
+    # snapshot is free) in a host thread that dispatches short stage
+    # programs; tracking keeps dispatching frame steps between them.
+    # Keyframes are matched across the flight window by kf_frame_id (one
+    # keyframe per frame id ⇒ a unique, compaction-proof key); point-slot
+    # compactions during flight are composed into _gba_pt_map via
+    # note_pt_remap.
+
+    def gba_inflight(self) -> bool:
+        return self._gba_thread is not None and self._gba_thread.is_alive()
+
+    def abort_gba(self) -> None:
+        """Discard any in-flight GBA (the mbStopGBA path: a newer loop
+        closure supersedes it)."""
+        t = self._gba_thread
+        if t is not None:
+            self._gba_abort.set()
+            t.join()
+        self._gba_thread = None
+        self._gba_out = None
+        self._gba_snap = None
+        self._gba_pt_map = None
+
+    def note_pt_remap(self, remap: np.ndarray) -> None:
+        """Point-slot compaction happened while GBA is in flight: compose
+        it into the snapshot->current point index map."""
+        if self._gba_pt_map is not None:
+            pm = self._gba_pt_map
+            r = np.asarray(remap)
+            self._gba_pt_map = np.where(pm >= 0,
+                                        r[np.clip(pm, 0, None)], -1)
+
+    def launch_gba_async(self, m: MapState) -> None:
+        import threading
+        self.abort_gba()
+        prob, plane_free = self._build_gba_problem(m)
+        self._gba_snap = {
+            "kf_frame_id": np.asarray(m.kf_frame_id).copy(),
+            "kf_valid": np.asarray(m.kf_valid).copy(),
+            "pt_valid": np.asarray(m.pt_valid).copy(),
+            "pl_valid": np.asarray(m.pl_valid).copy(),
+        }
+        self._gba_pt_map = np.arange(m.max_pt, dtype=np.int64)
+        self._gba_out = None
+        self._gba_abort = threading.Event()
+
+        def work():
+            try:
+                res = self._run_gba_stages(prob, plane_free,
+                                           self._gba_abort)
+                if res is not None and not self._gba_abort.is_set():
+                    self._gba_out = res
+            except Exception:   # surface solver failures, don't hang
+                import traceback
+                traceback.print_exc()
+
+        self._gba_thread = threading.Thread(target=work, daemon=True,
+                                            name="eao-gba")
+        self._gba_thread.start()
+
+    def poll_gba(self, m: MapState, blocking: bool = False
+                 ) -> Tuple[MapState, bool]:
+        """If an async GBA finished, merge its result into the LIVE map
+        and return (merged_map, True); otherwise (m, False). With
+        blocking=True waits for completion first (used before trajectory /
+        checkpoint reads)."""
+        t = self._gba_thread
+        if t is None:
+            return m, False
+        if blocking:
+            t.join()
+        if t.is_alive():
+            return m, False
+        self._gba_thread = None
+        res = self._gba_out
+        snap = self._gba_snap
+        pt_map = self._gba_pt_map
+        self._gba_out = self._gba_snap = self._gba_pt_map = None
+        if res is None:
+            return m, False
+        return self._merge_gba(m, res, snap, pt_map), True
+
+    def _merge_gba(self, m: MapState, res, snap, pt_map) -> MapState:
+        """Post-hoc merge (`LoopClosing::RunGlobalBundleAdjustment`
+        post-GBA section, `src/LoopClosing.cc:686-796`): keyframes present
+        at the snapshot take their GBA poses (mTcwGBA); keyframes created
+        while GBA was in flight are corrected through the spanning tree
+        (Tchild' = Tchild ∘ Tparent⁻¹ ∘ Tparent'); points present at the
+        snapshot take GBA positions (mPosGBA); newer points and planes
+        move through their reference keyframe's correction."""
+        K = m.max_kf
+        kf_valid = np.asarray(m.kf_valid)
+        cur_fid = np.asarray(m.kf_frame_id)
+        pose_before = np.asarray(m.kf_pose)
+        gba_pose = np.asarray(res.cam_pose)
+        snap_slot = {int(f): i
+                     for i, f in enumerate(snap["kf_frame_id"])
+                     if snap["kf_valid"][i]}
+        new_pose = pose_before.copy()
+        new_kfs = []
+        for j in np.where(kf_valid)[0]:
+            s = snap_slot.get(int(cur_fid[j]), -1)
+            if s >= 0:
+                new_pose[j] = gba_pose[s]
+            else:
+                new_kfs.append(int(j))
+        if new_kfs:
+            Z = np.asarray(covisibility.observation_indicator(m))
+            covis = Z @ Z.T
+            for j in new_kfs:       # ascending slot order: parents (which
+                cand = covis[j, :j].copy()   # are earlier slots) already
+                cand[~kf_valid[:j]] = -1.0   # carry corrected poses
+                parent = int(np.argmax(cand)) if cand.size else -1
+                if parent < 0 or cand[parent] <= 0:
+                    earlier = np.where(kf_valid[:j])[0]
+                    if len(earlier) == 0:
+                        continue
+                    parent = int(earlier[-1])
+                new_pose[j] = np.asarray(lie.se3_compose(
+                    jnp.asarray(pose_before[j]),
+                    lie.se3_compose(
+                        lie.se3_inverse(jnp.asarray(pose_before[parent])),
+                        jnp.asarray(new_pose[parent]))))
+
+        # ---- points ------------------------------------------------
+        P = m.max_pt
+        pt_valid = np.asarray(m.pt_valid)
+        X = np.asarray(m.pt_xyz).copy()
+        cur_of_snap = pt_map                         # [P] snap -> current
+        sel = (cur_of_snap >= 0) & snap["pt_valid"]
+        sel &= pt_valid[np.clip(cur_of_snap, 0, None)]
+        X[cur_of_snap[sel]] = np.asarray(res.pt_xyz)[sel]
+        from_snap = np.zeros(P, bool)
+        from_snap[cur_of_snap[sel]] = True
+        new_pts = pt_valid & (~from_snap)
+        if new_pts.any():
+            ref = np.clip(np.asarray(m.pt_ref_kf), 0, K - 1)
+            T_move = jax.vmap(lie.se3_compose)(
+                jax.vmap(lie.se3_inverse)(jnp.asarray(new_pose)[ref]),
+                jnp.asarray(pose_before)[ref])
+            moved = np.asarray(lie.se3_apply(T_move, jnp.asarray(X)))
+            ok = new_pts & (np.asarray(m.pt_ref_kf) >= 0)
+            X[ok] = moved[ok]
+
+        out = m._replace(kf_pose=jnp.asarray(new_pose),
+                         pt_xyz=jnp.asarray(X))
+
+        # ---- planes (ids are stable: no plane compaction) ------------
+        if self.cfg.use_planes and res.pl_coeff is not None:
+            from eao_fusion_tpu.mapping import plane_map
+            pl_valid = np.asarray(m.pl_valid)
+            both = pl_valid & snap["pl_valid"]
+            coeff = np.asarray(m.pl_coeff).copy()
+            coeff[both] = np.asarray(res.pl_coeff)[both]
+            bnd = np.asarray(m.pl_boundary).copy()
+            bv = np.asarray(m.pl_boundary_valid)
+            # snapshot planes: project boundaries onto optimized planes
+            off = np.einsum("lbi,li->lb", bnd, coeff[:, :3]) \
+                + coeff[:, 3][:, None]
+            proj = bnd - off[..., None] * coeff[:, None, :3]
+            keep = both[:, None] & bv
+            bnd[keep] = proj[keep]
+            # planes created during flight: follow their reference KF
+            new_pl = pl_valid & (~snap["pl_valid"]) \
+                & (np.asarray(m.pl_ref_kf) >= 0)
+            if new_pl.any():
+                pref = np.clip(np.asarray(m.pl_ref_kf), 0, K - 1)
+                T_pl = jax.vmap(lie.se3_compose)(
+                    jax.vmap(lie.se3_inverse)(jnp.asarray(new_pose)[pref]),
+                    jnp.asarray(pose_before)[pref])
+                c_new = np.asarray(jax.vmap(plane_map.transform_planes)(
+                    jnp.asarray(coeff), T_pl))
+                b_new = np.asarray(jax.vmap(lie.se3_apply)(
+                    T_pl, jnp.asarray(bnd)))
+                coeff[new_pl] = c_new[new_pl]
+                bnd[new_pl[:, None] & bv] = b_new[new_pl[:, None] & bv]
+            out = out._replace(pl_coeff=jnp.asarray(coeff),
+                               pl_boundary=jnp.asarray(bnd))
+        return out
 
     # ------------------------------------------------------------ driver
     def on_keyframe(self, m: MapState, slot: int, key) -> Tuple[MapState, bool]:

@@ -151,6 +151,7 @@ class System:
         self._mono_ref = None
         self._last_fo = None
         if self.loop_closer is not None:
+            self.loop_closer.abort_gba()   # snapshot belongs to the old map
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.consistent_groups = []
 
@@ -330,10 +331,35 @@ class System:
         return np.asarray(self.track.pose)
 
     # ------------------------------------------------------------------
+    def _poll_gba(self, blocking: bool = False) -> bool:
+        """Merge a finished asynchronous GBA into the live map (the
+        reference's post-GBA map update under mMutexGBA). The tracking
+        pose is rebased through its reference keyframe — the camera-
+        relative transform T_c,ref is invariant under map corrections."""
+        lc = self.loop_closer
+        if lc is None or lc._gba_thread is None:
+            return False
+        ref = int(self.track.ref_kf)
+        before = self.map.kf_pose[ref] if ref >= 0 else None
+        self.map, merged = lc.poll_gba(self.map, blocking=blocking)
+        if merged and before is not None:
+            after = self.map.kf_pose[ref]
+            rebase = lie.se3_compose(lie.se3_inverse(before), after)
+
+            def reb(p):
+                return lie.se3_compose(p, rebase)
+            self.track = self.track._replace(
+                pose=reb(self.track.pose),
+                last_pose=reb(self.track.last_pose))
+        return merged
+
     def _on_keyframe(self, slot: int) -> None:
         """Keyframe-rate mapping: point culling + local BA + stat refresh
         (the reference's LocalMapping thread, SURVEY.md §3.3)."""
         from eao_fusion_tpu.pipeline import local_mapping
+        # a finished in-flight GBA merges before new mapping work reads
+        # the map
+        self._poll_gba()
         if self.cfg.sensor == "mono" and self.n_keyframes >= 2:
             # monocular landmark creation by epipolar triangulation
             self.map = local_mapping.create_points_mono(
@@ -353,6 +379,9 @@ class System:
         # equivalent of the reference's pointer deletes)
         if int(self.map.next_pt) > 0.9 * self.map.max_pt:
             self.map, remap = jax.jit(ms.compact_points)(self.map)
+            if self.loop_closer is not None:
+                # an in-flight async GBA must see the new point slots
+                self.loop_closer.note_pt_remap(np.asarray(remap))
             if self.cfg.use_objects:
                 ot = self.objects
                 new_ids = jnp.where(
@@ -578,6 +607,7 @@ class System:
         insertion order — `System::SaveKeyFrameTrajectoryTUM`
         (`src/System.cc:329-365`): keyframe poses only, reflecting every
         loop correction / GBA, culled keyframes omitted."""
+        self._poll_gba(blocking=True)
         kf_valid = np.asarray(self.map.kf_valid)
         sel = np.where(kf_valid)[0]
         return (np.asarray(self.map.kf_timestamp)[sel],
@@ -592,6 +622,7 @@ class System:
             return np.zeros((0, 7), np.float32)
         if not corrected:
             return np.stack(self.trajectory)
+        self._poll_gba(blocking=True)   # fold in any in-flight GBA first
         kf_pose = np.asarray(self.map.kf_pose)
         kf_valid = np.asarray(self.map.kf_valid)
         out = []

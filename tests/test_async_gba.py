@@ -1,0 +1,161 @@
+"""Asynchronous GBA with post-hoc merge (round-3 verdict item 3).
+
+The reference runs GBA in a transient thread and merges its output into a
+map that kept growing meanwhile (`src/LoopClosing.cc:686-796`,
+mTcwGBA/mPosGBA through the spanning tree). These tests exercise the
+TPU-native equivalent deterministically (calling the snapshot/solve/merge
+pieces directly) and the threaded path end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eao_fusion_tpu.config import (MapCapacity, ORBConfig, SystemConfig,
+                                   TrackingConfig)
+from eao_fusion_tpu.io import synthetic
+from eao_fusion_tpu.ops import lie
+from eao_fusion_tpu.pipeline.system import System
+
+
+def _cfg(**kw):
+    base = dict(
+        orb=ORBConfig(n_features=500, max_keypoints=512),
+        capacity=MapCapacity(max_keyframes=16, max_points=4096,
+                             max_local_ba_kfs=16),
+        tracking=TrackingConfig(max_frames_between_kf=3),
+        use_planes=False, use_objects=False)
+    base.update(kw)
+    return SystemConfig(**base)
+
+
+def _reproj_rmse(m, kf, pt_sel, cam):
+    """RMS reprojection error of keyframe `kf`'s observations restricted
+    to points in `pt_sel` (bool [P])."""
+    kp_pt = np.asarray(m.kf_pt_idx[kf])
+    valid = (kp_pt >= 0) & np.asarray(m.kf_kp_valid[kf])
+    valid &= pt_sel[np.clip(kp_pt, 0, None)]
+    if not valid.any():
+        return None
+    pts = np.asarray(m.pt_xyz)[kp_pt[valid]]
+    pc = np.asarray(lie.se3_apply(jnp.asarray(m.kf_pose[kf]),
+                                  jnp.asarray(pts)))
+    fx, fy, cx, cy = cam
+    u = fx * pc[:, 0] / pc[:, 2] + cx
+    v = fy * pc[:, 1] / pc[:, 2] + cy
+    uv = np.asarray(m.kf_kp_uv[kf])[valid]
+    return float(np.sqrt(np.mean((u - uv[:, 0]) ** 2
+                                 + (v - uv[:, 1]) ** 2)))
+
+
+def test_merge_inflight_keyframes_deterministic():
+    """Snapshot at frame 12, solve GBA on the snapshot, keep tracking 8
+    more frames (new keyframes + points on the live map), then merge.
+    In-snapshot keyframes must take their GBA poses; keyframes and points
+    created during the flight must survive the merge with consistent
+    geometry (their mutual reprojection residuals are preserved)."""
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
+    cfg = _cfg()
+    s = System(cfg)
+    for f in seq.frames[:12]:
+        s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
+    lc = s.loop_closer
+    m_snap = s.map
+    snap = {
+        "kf_frame_id": np.asarray(m_snap.kf_frame_id).copy(),
+        "kf_valid": np.asarray(m_snap.kf_valid).copy(),
+        "pt_valid": np.asarray(m_snap.pt_valid).copy(),
+        "pl_valid": np.asarray(m_snap.pl_valid).copy(),
+    }
+    prob, plane_free = lc._build_gba_problem(m_snap)
+    res = lc._run_gba_stages(prob, plane_free)
+    n_kf_snap = int(np.asarray(m_snap.next_kf))
+
+    for f in seq.frames[12:20]:
+        s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
+    m_live = s.map
+    assert int(np.asarray(m_live.next_kf)) > n_kf_snap
+
+    cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    new_pts = np.asarray(m_live.pt_valid).copy()
+    new_pts[:int(np.asarray(m_snap.next_pt))] = False
+    new_kfs = [k for k in range(n_kf_snap, int(np.asarray(m_live.next_kf)))
+               if np.asarray(m_live.kf_valid)[k]]
+    rmse_before = {k: _reproj_rmse(m_live, k, new_pts, cam)
+                   for k in new_kfs}
+
+    pt_map = np.arange(m_live.max_pt, dtype=np.int64)
+    merged = lc._merge_gba(m_live, res, snap, pt_map)
+
+    # snapshot keyframes carry their GBA poses
+    fid_live = np.asarray(m_live.kf_frame_id)
+    snap_slot = {int(f): i for i, f in enumerate(snap["kf_frame_id"])
+                 if snap["kf_valid"][i]}
+    n_checked = 0
+    for j in np.where(np.asarray(m_live.kf_valid))[0]:
+        sslot = snap_slot.get(int(fid_live[j]), -1)
+        if sslot >= 0:
+            np.testing.assert_allclose(
+                np.asarray(merged.kf_pose)[j],
+                np.asarray(res.cam_pose)[sslot], atol=1e-6)
+            n_checked += 1
+    assert n_checked >= 3
+
+    # flight-window keyframes + their created points stay geometrically
+    # consistent: reprojection residuals preserved by the rigid correction
+    for k in new_kfs:
+        rb = rmse_before[k]
+        ra = _reproj_rmse(merged, k, new_pts, cam)
+        if rb is None:
+            continue
+        assert ra is not None
+        assert abs(ra - rb) < 0.05, (k, rb, ra)
+
+    # snapshot-present points took their GBA positions
+    sel = snap["pt_valid"] & np.asarray(m_live.pt_valid)
+    np.testing.assert_allclose(np.asarray(merged.pt_xyz)[sel],
+                               np.asarray(res.pt_xyz)[sel], atol=1e-6)
+
+
+def test_async_thread_roundtrip():
+    """Threaded path: launch on a snapshot, keep processing frames, then a
+    blocking poll merges; tracking stays healthy afterwards."""
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
+    cfg = _cfg()
+    s = System(cfg)
+    for f in seq.frames[:12]:
+        s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
+    s.loop_closer.launch_gba_async(s.map)
+    assert s.loop_closer._gba_thread is not None
+    for f in seq.frames[12:20]:
+        # _on_keyframe polls opportunistically; this must never deadlock
+        # or corrupt the map while the solver thread dispatches stages
+        s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
+    s._poll_gba(blocking=True)
+    assert s.loop_closer._gba_thread is None
+    # tracking survived the merge
+    assert s.diags[-1]["n_inliers"] >= 30
+    # and keeps tracking on the merged map
+    f = seq.frames[19]
+    s.process_frame(f.gray, f.depth, timestamp=f.timestamp + 1 / 30)
+    assert s.diags[-1]["n_inliers"] >= 30
+
+
+def test_abort_discards_result():
+    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc",
+                                      cache_dir=synthetic.DEFAULT_CACHE)
+    cfg = _cfg()
+    s = System(cfg)
+    for f in seq.frames[:10]:
+        s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
+    lc = s.loop_closer
+    pose_before = np.asarray(s.map.kf_pose).copy()
+    lc.launch_gba_async(s.map)
+    lc.abort_gba()
+    assert lc._gba_thread is None and lc._gba_out is None
+    m, merged = lc.poll_gba(s.map)
+    assert not merged
+    np.testing.assert_array_equal(np.asarray(m.kf_pose), pose_before)

@@ -16,8 +16,12 @@ CFG = SolverConfig()
 
 
 def make_ba_problem(r, n_cams=6, n_pts=256, n_slots=128, noise_px=0.3,
-                    pose_noise=0.02, pt_noise=0.02):
-    """Cameras on an arc observing a point cloud; GT + perturbed problem."""
+                    pose_noise=0.02, pt_noise=0.02, sample_obs=False):
+    """Cameras on an arc observing a point cloud; GT + perturbed problem.
+    sample_obs=True draws each camera's observed subset uniformly from its
+    visible points (realistic spread over the point table — required for
+    shard-balance benchmarks; default keeps the first-visible prefix for
+    byte-stable test problems)."""
     pts_gt = np.stack([r.uniform(-2, 2, n_pts), r.uniform(-1.5, 1.5, n_pts),
                        r.uniform(3, 7, n_pts)], axis=1).astype(np.float32)
     cams_gt = []
@@ -37,7 +41,11 @@ def make_ba_problem(r, n_cams=6, n_pts=256, n_slots=128, noise_px=0.3,
                        fy * xc[:, 1] / xc[:, 2] + cy], axis=1)
         vis = ((xc[:, 2] > 0.5) & (uv[:, 0] > 0) & (uv[:, 0] < 640)
                & (uv[:, 1] > 0) & (uv[:, 1] < 480))
-        ids = np.where(vis)[0][:n_slots]
+        vis_ids = np.where(vis)[0]
+        if sample_obs and len(vis_ids) > n_slots:
+            ids = np.sort(r.choice(vis_ids, n_slots, replace=False))
+        else:
+            ids = vis_ids[:n_slots]
         k = len(ids)
         obs_pt[c, :k] = ids
         obs_uv[c, :k] = uv[ids] + r.normal(0, noise_px, (k, 2))
