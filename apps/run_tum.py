@@ -219,31 +219,10 @@ def main(argv=None):
                 s._traj_refs.append((-1, p))
                 s.diags.append({"n_inliers": int(ninl[j]),
                                 "kf_inserted": int(kfi[j])})
-            # episodic host-side loop closing on EVERY new keyframe of the
-            # chunk (the reference's mostly-sleeping LoopClosing thread);
-            # with async_gba the global BA itself runs in a host thread
-            # whose stages interleave with the next chunks on device
-            kf_after = int(np.asarray(st.m.next_kf))
-            m = st.m
-            for slot in range(kf_before, kf_after):
-                if s.loop_closer is not None:
-                    m, closed = s.loop_closer.on_keyframe(
-                        m, slot, s._next_key())
-                    if closed:
-                        s.n_loops_closed += 1
-                        st = st._replace(ts=st.ts._replace(
-                            pose=m.kf_pose[slot],
-                            last_pose=m.kf_pose[slot],
-                            kp_pt=m.kf_pt_idx[slot]))
-            # merge a finished async GBA + compact keyframe slots if low
-            s.map, s.track = m, st.ts
-            s._poll_gba()
-            s._maybe_compact_keyframes()
-            st = st._replace(m=s.map, ts=s.track)
-        # sync the facade for trajectory/checkpoint output
-        s.map, s.track, s.objects = st.m, st.ts, st.objs
-        s.frame_id = int(np.asarray(st.frame_id))
-        s.n_keyframes = int(np.asarray(st.m.next_kf))
+            # chunk-boundary protocol (System.chunk_epilogue): loop
+            # closing per new keyframe, async-GBA merge, point/keyframe
+            # compaction, lost-recovery relocalization
+            st = s.chunk_epilogue(st, kf_before)
 
     t0 = time.time()
     chunk_frames = []   # frames deferred to the steady chunked path

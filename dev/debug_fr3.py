@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--no-compact", action="store_true")
     args = ap.parse_args()
 
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)
+
     t0 = time.time()
     import jax
     import jax.numpy as jnp
@@ -56,7 +60,8 @@ def main():
 
     log(f"[{time.time()-t0:.1f}s] devices: {jax.devices()}")
     cfg = SystemConfig(use_planes=not args.no_planes,
-                       use_objects=not args.no_objects)
+                       use_objects=not args.no_objects,
+                       use_loop_closing=not args.no_loop)
 
     seq = synthetic.generate_sequence(n_frames=args.lap_frames, seed=0,
                                       style="tour",
@@ -68,8 +73,11 @@ def main():
     s = System(cfg)
     n_warm = 12
     for k in range(n_warm):
+        tw = time.time()
         f = seq.frames[order[k]]
         s.process_frame(f.gray, f.depth, timestamp=k / 30.0, boxes=f.boxes)
+        if time.time() - tw > 15:
+            log(f"  warm-up frame {k}: {time.time()-tw:.0f}s (compiles)")
     log(f"[{time.time()-t0:.1f}s] warm-up: kf={s.n_keyframes} "
         f"pts={int(s.map.next_pt)}")
 
@@ -106,23 +114,19 @@ def main():
         td1 = time.time(); t_dev += td1 - th1
 
         kf_after = int(np.asarray(st.m.next_kf))
-        m = st.m
-        if not args.no_loop:
-            for slot in range(kf_before, kf_after):
-                m, closed = s.loop_closer.on_keyframe(m, slot, s._next_key())
-                if closed:
-                    s.n_loops_closed += 1
-                    st = st._replace(ts=st.ts._replace(
-                        pose=m.kf_pose[slot], last_pose=m.kf_pose[slot],
-                        kp_pt=m.kf_pt_idx[slot]))
-                    log(f"  LOOP CLOSED at kf slot {slot} (frame ~{lo})")
-        s.map, s.track = m, st.ts
-        if s._poll_gba():
+        loops0, merges0 = s.n_loops_closed, getattr(s, "n_gba_merges", 0)
+        te0 = time.time()
+        st = s.chunk_epilogue(st, kf_before)
+        if time.time() - te0 > 20:
+            log(f"  slow epilogue at frame {lo}: {time.time()-te0:.1f}s "
+                f"(kf {kf_before}->{kf_after})")
+        if time.time() - td1 > 60 and time.time() - te0 < 20:
+            log(f"  slow device chunk at frame {lo}: {td1-th1:.1f}s")
+        if s.n_loops_closed > loops0:
+            log(f"  LOOP CLOSED (frame ~{lo})")
+        if getattr(s, "n_gba_merges", 0) > merges0:
             log(f"  GBA merged at frame ~{lo}")
         tl1 = time.time(); t_loop += tl1 - td1
-        if not args.no_compact:
-            s._maybe_compact_keyframes()
-        st = st._replace(m=s.map, ts=s.track)
         t_cpt += time.time() - tl1
 
         status = np.asarray(diag["n_inliers"])
@@ -134,16 +138,26 @@ def main():
             lost_at = lo
             log(f"  *** TRACKING LOST in chunk at frame {lo} ***")
         if (lo - n_warm) % (chunk * 10) == 0 or perr > 0.5:
+            nref = np.asarray(diag["n_ref"])
+            tcl = np.asarray(diag["tracked_close"])
+            ucl = np.asarray(diag["untracked_close"])
+            log(f"  nref={nref.min()}..{nref.max()} "
+                f"tracked_close={tcl.min()}..{tcl.max()} "
+                f"untracked_close={ucl.min()}..{ucl.max()}")
             log(f"frame {lo:5d} inl={status.min():4d}..{status.max():4d} "
                 f"kf+={int(kfin)} next_kf={kf_after} "
                 f"live={int(np.asarray(st.m.kf_valid).sum())} "
                 f"pts={int(np.asarray(st.m.pt_valid).sum())} "
-                f"maxperr={perr:.3f}m loops={s.n_loops_closed}")
+                f"next_pt={int(np.asarray(st.m.next_pt))} "
+                f"maxperr={perr:.3f}m loops={s.n_loops_closed} "
+                f"reloc={s.n_relocalizations}")
         if perr > 5.0:
             log(f"  diverged (>5 m) at frame {lo}; stopping early")
             break
 
     s._poll_gba(blocking=True)
+    if s.loop_closer is not None:
+        log(f"loop stats: { {k: round(v, 1) if isinstance(v, float) else v for k, v in s.loop_closer.stats.items()} }")
     n_done = lo - n_warm
     log(json.dumps({
         "frames": n_done, "t_host_s": round(t_host, 1),

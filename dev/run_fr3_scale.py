@@ -102,19 +102,8 @@ def main():
         poses_all.append(np.asarray(diag["pose"]))
         kf_after = int(np.asarray(st.m.next_kf))
         lifetime_kf += kf_after - kf_before
-        m = st.m
-        for slot in range(kf_before, kf_after):
-            m, closed = s.loop_closer.on_keyframe(m, slot, s._next_key())
-            if closed:
-                s.n_loops_closed += 1
-                st = st._replace(ts=st.ts._replace(
-                    pose=m.kf_pose[slot], last_pose=m.kf_pose[slot],
-                    kp_pt=m.kf_pt_idx[slot]))
-        s.map, s.track = m, st.ts
-        if s._poll_gba():
-            gba_merges += 1
-        s._maybe_compact_keyframes()
-        st = st._replace(m=s.map, ts=s.track)
+        st = s.chunk_epilogue(st, kf_before)
+        gba_merges = getattr(s, "n_gba_merges", 0)
         dt = time.time() - tc0
         if t_first_chunk is None:
             t_first_chunk = dt          # includes the chunk compile

@@ -94,7 +94,15 @@ class TrackingConfig:
     """Front-end policy thresholds (reference `src/Tracking.cc`)."""
 
     # Keyframe decision (NeedNewKeyFrame, `src/Tracking.cc:2300-2466`).
-    min_frames_between_kf: int = 0
+    # The reference's c1b gates insertion on `mnFrameId > mnLastKeyFrameId
+    # + mMinFrames && LocalMapping idle` — its mapping thread takes ~2-3
+    # camera frames per keyframe, so that idle check is real backpressure
+    # (`src/Tracking.cc:2338-2350`, `src/LocalMapping.cc:41-116`). With the
+    # mapping branch fused into the per-frame step there is no queue to be
+    # busy, so the equivalent floor is explicit: a c2-triggered keyframe
+    # needs at least this many frames since the last insertion (c1a's
+    # max_frames_between_kf timeout bypasses it).
+    min_frames_between_kf: int = 3
     max_frames_between_kf: int = 30  # = fps
     min_matches_track: int = 20      # motion-model tracking accept gate
     min_matches_local_map: int = 30  # local-map tracking accept gate

@@ -453,8 +453,13 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
                                 class_textures=class_textures)
     if path and os.path.exists(path):
         z = np.load(path, allow_pickle=True)
-        frames = [SyntheticFrame(gray=z["gray"][i], depth=z["depth"][i],
-                                 tcw=z["tcw"][i], timestamp=float(z["ts"][i]),
+        # materialize each array ONCE: indexing the lazy NpzFile per frame
+        # re-decompresses the whole stack per access (O(n^2) for long
+        # sequences — the 625-frame tour took ~20 min / 24 GB to "load")
+        gray, depth = z["gray"], z["depth"]
+        tcw, ts = z["tcw"], z["ts"]
+        frames = [SyntheticFrame(gray=gray[i], depth=depth[i],
+                                 tcw=tcw[i], timestamp=float(ts[i]),
                                  boxes=z["boxes_%d" % i])
                   for i in range(int(z["n"]))]
         return SyntheticSequence(frames=frames, camera=cam, scene=scene)

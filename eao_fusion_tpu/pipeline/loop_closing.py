@@ -45,6 +45,9 @@ class LoopCloser:
         # loop edges of accepted closures, kept for later essential graphs
         # (`KeyFrame::GetLoopEdges`, `src/Optimizer.cc:1287-1311`)
         self.loop_edges: List[Tuple[int, int]] = []
+        self._detect_jit = None
+        self._onkf_jit = None
+        self.stats: dict = {}   # cumulative per-phase wall time / counts
         # asynchronous GBA state (see the "async GBA" section below)
         self._gba_thread = None
         self._gba_abort = None
@@ -90,19 +93,37 @@ class LoopCloser:
     def detect(self, m: MapState, slot: int, debug: bool = False) -> int:
         """Returns a loop-candidate keyframe slot or -1. Implements
         `KeyFrameDatabase::DetectLoopCandidates` gating + LoopClosing's
-        3-consecutive-group consistency (`src/LoopClosing.cc:103-229`)."""
+        3-consecutive-group consistency (`src/LoopClosing.cc:103-229`).
+        Device math (covisibility product + BoW scores) runs as one
+        dispatch in `_detect_device`; this method is the host-side gating
+        on the pulled statistics."""
+        scores_d, covis_d = self._detect_device(m, jnp.int32(slot),
+                                                self.bow)
+        scores, covis, kf_valid = jax.device_get(
+            (scores_d, covis_d, m.kf_valid))
+        return self._detect_from_stats(slot, scores, covis, kf_valid,
+                                       debug=debug)
+
+    def _detect_device(self, m: MapState, slot, bow):
+        if self._detect_jit is None:
+            def _dev(m, slot, bow):
+                Z = covisibility.observation_indicator(m)
+                covis = covisibility.covisibility_counts(Z)
+                scores = vocabulary.l1_scores(bow[slot], bow, m.kf_valid)
+                return scores, covis
+            self._detect_jit = jax.jit(_dev)
+        return self._detect_jit(m, slot, bow)
+
+    def _detect_from_stats(self, slot: int, scores: np.ndarray,
+                           covis: np.ndarray, kf_valid: np.ndarray,
+                           debug: bool = False) -> int:
         cfg = self.cfg.loop
         if slot < 10 or slot - self.last_loop_kf < 10:
             return -1
-        Z = covisibility.observation_indicator(m)
-        covis = covisibility.covisibility_counts(Z)
-        covis_row = np.asarray(covis[slot])
+        covis_row = covis[slot]
         connected = covis_row >= 15
         connected[slot] = True
 
-        scores = np.asarray(vocabulary.l1_scores(
-            self.bow[slot], self.bow, m.kf_valid))
-        kf_valid = np.asarray(m.kf_valid)
         # minScore over connected neighbors (`src/LoopClosing.cc:124-138`)
         neigh = connected.copy()
         neigh[slot] = False
@@ -128,7 +149,7 @@ class LoopCloser:
             return -1
 
         # accumulate scores over covisibility groups; retain >= 0.75 best
-        covis_np = np.asarray(covis)
+        covis_np = covis
         groups = []
         for c in cand:
             grp = set(np.where(covis_np[c] >= 15)[0].tolist()) | {int(c)}
@@ -172,14 +193,22 @@ class LoopCloser:
                   f"(need {cfg.loop.min_sim3_matches})", flush=True)
         if len(pairs) < cfg.loop.min_sim3_matches:
             return None
-        ia = np.array([p[0] for p in pairs])
-        ib = np.array([p[1] for p in pairs])
+        # FIXED-shape pair set: a dynamic length would retrace/recompile
+        # ransac_align + sim3_refine for every distinct match count (~10 s
+        # per loop candidate on a tunneled TPU — it dominated the round-4
+        # fr3-scale run's loop-closer time)
+        n_pair_pad = 512
+        n = min(len(pairs), n_pair_pad)
+        ia = np.zeros((n_pair_pad,), np.int64)
+        ib = np.zeros((n_pair_pad,), np.int64)
+        ia[:n] = [p[0] for p in pairs[:n]]
+        ib[:n] = [p[1] for p in pairs[:n]]
         pa_w = m.pt_xyz[jnp.asarray(ia)]
         pb_w = m.pt_xyz[jnp.asarray(ib)]
         # to camera frames
         pa_c = lie.se3_apply(m.kf_pose[cand], pa_w)
         pb_c = lie.se3_apply(m.kf_pose[cur], pb_w)
-        valid = jnp.ones((len(pairs),), bool)
+        valid = jnp.arange(n_pair_pad) < n
         res = ransac.ransac_align(pa_c, pb_c, valid, key,
                                   with_scale=not cfg.loop.fix_scale_rgbd,
                                   inlier_th=0.10)
@@ -836,19 +865,49 @@ class LoopCloser:
         # Loop decisions read the covisibility graph; recompute the
         # observation indicator exactly here rather than trusting the
         # keyframe-rate incremental cache (staleness in a single row warps
-        # the consistency groups). This is episodic host-side work (~10 ms
-        # per keyframe on v5e) outside the steady-state tracking loop.
-        from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
-        m = refresh_obs_ind(m)
-        self.add_keyframe_bow(m, slot)
-        cand = self.detect(m, slot, debug=bool(dbg))
+        # the consistency groups). ONE fused device dispatch (obs-indicator
+        # refresh + bow row + covisibility product + L1 scores) and ONE
+        # host pull (~264 kB) per keyframe: on a tunneled TPU the previous
+        # 6-dispatch/5-pull structure cost hundreds of ms per keyframe —
+        # it dominated the round-4 fr3-scale run.
+        if self._onkf_jit is None:
+            def _onkf(m, slot, bow):
+                from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+                m = refresh_obs_ind(m)
+                v = vocabulary.bow_vector(self.vocab, m.kf_desc_pm1[slot],
+                                          m.kf_kp_valid[slot])
+                bow = bow.at[slot].set(v)
+                Z = covisibility.observation_indicator(m)
+                covis = covisibility.covisibility_counts(Z)
+                scores = vocabulary.l1_scores(v, bow, m.kf_valid)
+                return m, bow, scores, covis
+            self._onkf_jit = jax.jit(_onkf)
+        import time as _time
+        t0 = _time.time()
+        m, self.bow, scores_d, covis_d = self._onkf_jit(
+            m, jnp.int32(slot), self.bow)
+        scores, covis, kf_valid = jax.device_get(
+            (scores_d, covis_d, m.kf_valid))
+        cand = self._detect_from_stats(slot, scores, covis, kf_valid,
+                                       debug=bool(dbg))
+        self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
+            + _time.time() - t0
+        self.stats["n_detect"] = self.stats.get("n_detect", 0) + 1
+        t0 = _time.time()
         if cand < 0:
             return m, False
         g = self.compute_sim3(m, slot, cand, key, debug=bool(dbg))
+        self.stats["t_sim3"] = self.stats.get("t_sim3", 0.0) \
+            + _time.time() - t0
+        self.stats["n_sim3"] = self.stats.get("n_sim3", 0) + 1
         if dbg:
             print(f"[loop] kf{slot}: candidate {cand}, sim3 "
                   f"{'OK' if g is not None else 'REJECTED'}", flush=True)
         if g is None:
             return m, False
+        t0 = _time.time()
         m = self.correct(m, slot, cand, g)
+        self.stats["t_correct"] = self.stats.get("t_correct", 0.0) \
+            + _time.time() - t0
+        self.stats["n_correct"] = self.stats.get("n_correct", 0) + 1
         return m, True

@@ -144,6 +144,9 @@ def slam_chunk(st: SteadyState, grays: jax.Array, depths: jax.Array,
                                          kf_every=kf_every)
         return st, {"n_inliers": diag["n_inliers"],
                     "kf_inserted": diag["kf_inserted"],
+                    "n_ref": diag["n_ref"],
+                    "tracked_close": diag["tracked_close"],
+                    "untracked_close": diag["untracked_close"],
                     "pose": st.ts.pose}
 
     return jax.lax.scan(body, st, (grays, depths, boxes, timestamps))

@@ -24,6 +24,13 @@ from eao_fusion_tpu.ops import lie
 from eao_fusion_tpu.pipeline import tracking
 from eao_fusion_tpu.types import FrameFeatures
 
+# module-level jitted compaction entry points: a fresh `jax.jit(f)` per
+# call site re-traces on EVERY invocation (each wrapper has its own cache)
+_compact_points_jit = jax.jit(ms.compact_points)
+_compact_keyframes_jit = jax.jit(ms.compact_keyframes)
+_evict_keyframes_jit = jax.jit(ms.evict_keyframes,
+                               static_argnames=("n_evict", "protect_recent"))
+
 
 @functools.partial(jax.jit, static_argnames=("cfg", "is_init"))
 def insert_keyframe_rgbd(m: ms.MapState, feats: FrameFeatures,
@@ -342,6 +349,8 @@ class System:
         ref = int(self.track.ref_kf)
         before = self.map.kf_pose[ref] if ref >= 0 else None
         self.map, merged = lc.poll_gba(self.map, blocking=blocking)
+        if merged:
+            self.n_gba_merges = getattr(self, "n_gba_merges", 0) + 1
         if merged and before is not None:
             after = self.map.kf_pose[ref]
             rebase = lie.se3_compose(lie.se3_inverse(before), after)
@@ -377,23 +386,7 @@ class System:
                 self.objects, self.map.pt_xyz, self._next_key(), cfg=self.cfg)
         # point-slot compaction when the table runs low (dense-table
         # equivalent of the reference's pointer deletes)
-        if int(self.map.next_pt) > 0.9 * self.map.max_pt:
-            self.map, remap = jax.jit(ms.compact_points)(self.map)
-            if self.loop_closer is not None:
-                # an in-flight async GBA must see the new point slots
-                self.loop_closer.note_pt_remap(np.asarray(remap))
-            if self.cfg.use_objects:
-                ot = self.objects
-                new_ids = jnp.where(
-                    ot.pt_idx >= 0,
-                    remap[jnp.clip(ot.pt_idx, 0, None)], -1)
-                self.objects = ot._replace(
-                    pt_idx=new_ids, pt_ok=ot.pt_ok & (new_ids >= 0))
-            self.track = self.track._replace(
-                kp_pt=jnp.where(self.track.kp_pt >= 0,
-                                remap[jnp.clip(self.track.kp_pt, 0, None)],
-                                -1))
-            self._last_fo = None
+        self._maybe_compact_points()
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(
                 self.map, slot, self._next_key())
@@ -407,6 +400,92 @@ class System:
         # keyframe-slot compaction/eviction when insertion slots run low
         # (unbounded lifetime keyframe insertions; see the method docstring)
         self._maybe_compact_keyframes()
+
+    def _maybe_compact_points(self) -> bool:
+        """Point-slot compaction when the insertion cursor runs low — the
+        dense-table equivalent of the reference's pointer deletes. MUST run
+        in every execution mode: `next_pt` is append-only, so without it
+        point creation silently stops at `max_pt` lifetime insertions and
+        the map starves (`create_points_from_depth` drops writes past
+        capacity, `mapping/map_state.py:177`). The round-4 fr3-scale run
+        failed exactly this way in chunked mode."""
+        if int(self.map.next_pt) <= 0.9 * self.map.max_pt:
+            return False
+        self.map, remap = _compact_points_jit(self.map)
+        if self.loop_closer is not None:
+            # an in-flight async GBA must see the new point slots
+            self.loop_closer.note_pt_remap(np.asarray(remap))
+        if self.cfg.use_objects:
+            ot = self.objects
+            new_ids = jnp.where(ot.pt_idx >= 0,
+                                remap[jnp.clip(ot.pt_idx, 0, None)], -1)
+            self.objects = ot._replace(pt_idx=new_ids,
+                                       pt_ok=ot.pt_ok & (new_ids >= 0))
+        self.track = self.track._replace(
+            kp_pt=jnp.where(self.track.kp_pt >= 0,
+                            remap[jnp.clip(self.track.kp_pt, 0, None)], -1))
+        self._last_fo = None
+        return True
+
+    def chunk_epilogue(self, st, kf_before: int):
+        """Host-side chunk-boundary protocol for the steady chunked mode
+        (ONE place — previously each driver re-implemented a subset and
+        all of them missed point compaction): sync the facade from the
+        steady carry, run loop closing on each keyframe the chunk
+        inserted, merge a finished async GBA, compact point and keyframe
+        slots when low, and attempt relocalization if the chunk ended
+        LOST (the reference relocalizes per frame, `src/Tracking.cc:999`;
+        at chunk granularity the BoW+PnP recovery runs on the last
+        frame's features). Returns the refreshed SteadyState."""
+        self.map, self.track, self.objects = st.m, st.ts, st.objs
+        self.frame_id = int(np.asarray(st.frame_id))
+        self.n_keyframes = int(np.asarray(st.m.next_kf))
+        if self.loop_closer is not None:
+            for slot in range(kf_before, self.n_keyframes):
+                self.map, closed = self.loop_closer.on_keyframe(
+                    self.map, slot, self._next_key())
+                if closed:
+                    self.n_loops_closed += 1
+                    # loop correction moved poses/points
+                    self.track = self.track._replace(
+                        pose=self.map.kf_pose[slot],
+                        last_pose=self.map.kf_pose[slot],
+                        kp_pt=self.map.kf_pt_idx[slot])
+        self._poll_gba()
+        pts_compacted = self._maybe_compact_points()
+        self._maybe_compact_keyframes()
+
+        if (int(self.track.status) == tracking.STATUS_LOST
+                and self.loop_closer is not None):
+            from eao_fusion_tpu.pipeline import relocalization
+            pose, kp_pt = relocalization.relocalize(
+                self.map, self.track.last_feats, self.loop_closer.bow,
+                self.loop_closer.vocab, self._next_key(), cfg=self.cfg)
+            if pose is not None:
+                self.track = self.track._replace(
+                    pose=jnp.asarray(pose), last_pose=jnp.asarray(pose),
+                    kp_pt=kp_pt,
+                    velocity=jnp.asarray(
+                        np.array([1, 0, 0, 0, 0, 0, 0], np.float32)),
+                    status=jnp.int32(tracking.STATUS_OK))
+                self.n_relocalizations += 1
+
+        last_fo = st.last_fo
+        if pts_compacted and self.cfg.use_objects:
+            # the cached frame objects hold stale point ids; rebuild an
+            # empty table (one-frame warm-up cost, same as
+            # process_frame's `_last_fo = None` reset)
+            from eao_fusion_tpu.objects import object_map as om
+            feats0 = jax.tree.map(jnp.zeros_like, self.track.last_feats)
+            n = self.cfg.orb.max_keypoints
+            last_fo = om.build_frame_objects(
+                jnp.zeros((self.cfg.objects.max_objects_2d, 6), jnp.float32),
+                feats0, jnp.full((n,), -1, jnp.int32),
+                self.map.pt_xyz, self.map.pt_valid,
+                self.track.pose, cfg=self.cfg)
+        return st._replace(m=self.map, ts=self.track, objs=self.objects,
+                           last_fo=last_fo,
+                           frame_id=jnp.int32(self.frame_id))
 
     def _maybe_compact_keyframes(self) -> bool:
         """Keyframe-slot lifecycle (the reference's erase-forever pointer
@@ -426,11 +505,12 @@ class System:
         if live > int(0.8 * m.max_kf):
             # bucket n_evict to a multiple of 8: one compiled variant
             n_evict = max(8, ((live - target_live + 7) // 8) * 8)
-            m = jax.jit(ms.evict_keyframes, static_argnums=(1,))(
-                m, n_evict, protect_recent=min(10, m.max_kf // 3))
+            m = _evict_keyframes_jit(
+                m, n_evict=n_evict,
+                protect_recent=min(10, m.max_kf // 3))
         # absolute poses for trajectory refs that may lose their keyframe
         kf_pose_old = np.asarray(m.kf_pose)
-        self.map, remap = jax.jit(ms.compact_keyframes)(m)
+        self.map, remap = _compact_keyframes_jit(m)
         remap_np = np.asarray(remap)
 
         # --- host-state fixups ---------------------------------------

@@ -219,6 +219,12 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
 
     ok = n_in >= cfg.tracking.min_matches_track
     status = jnp.where(ok, STATUS_OK, STATUS_LOST)
+    # on loss: freeze at the last good pose and drop the motion model —
+    # a near-zero-inlier GN step is unconstrained garbage, and inside a
+    # scanned chunk it would otherwise compound frame after frame (the
+    # reference clears mVelocity and stops updating mTcw when LOST,
+    # `src/Tracking.cc:999-1012`; recovery is relocalization)
+    pose_out = jnp.where(ok, r2.pose, ts.pose)
 
     # ---- 6. keyframe decision (NeedNewKeyFrame, `src/Tracking.cc:2300`) --
     ref_kf = jnp.argmax(Z @ found.astype(jnp.float32)).astype(jnp.int32)
@@ -239,15 +245,24 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
     frames_since = frame_id - ts.last_kf_frame_id
     c1 = frames_since >= cfg.tracking.max_frames_between_kf
     ratio_ok = n_in < cfg.tracking.kf_ref_ratio * n_ref.astype(jnp.float32)
+    # the soft ratio trigger honors the mapping-backpressure floor (see
+    # the min_frames_between_kf config comment) — on revisit laps a fused
+    # reference keyframe tracks more points than any single view can
+    # match, so the ratio alone would insert every frame forever; the
+    # need_close (map starving of close points) trigger and the c1
+    # timeout stay ungated
+    ratio_ok = ratio_ok & \
+        (frames_since >= cfg.tracking.min_frames_between_kf)
     c2 = (ratio_ok | need_close) & (n_in > 15)
     has_capacity = m.next_kf < m.max_kf
     need_kf = ok & (c1 | c2) & has_capacity & (frames_since >= 1)
 
-    vel = lie.se3_compose(r2.pose, lie.se3_inverse(ts.last_pose))
+    vel = lie.se3_compose(pose_out, lie.se3_inverse(ts.last_pose))
+    ident = lie.se3_identity()
     new_ts = TrackState(
-        pose=r2.pose,
-        velocity=jnp.where(ts.status == STATUS_OK, vel, ts.velocity),
-        last_pose=r2.pose,
+        pose=pose_out,
+        velocity=jnp.where(ok & (ts.status == STATUS_OK), vel, ident),
+        last_pose=pose_out,
         last_feats=feats,
         kp_pt=kp_pt,
         ref_kf=ref_kf,
