@@ -93,6 +93,7 @@ def main():
     chunk = args.chunk
     t_host = t_dev = t_loop = t_cpt = 0.0
     lost_at = -1
+    dev_ms = []
 
     for lo in range(n_warm, n_total, chunk):
         idxs = order[lo:lo + chunk]
@@ -112,6 +113,7 @@ def main():
         st, diag = steady.slam_chunk(st, grays, depths, bxs, tss, cfg=cfg)
         jax.block_until_ready(st.ts.pose)
         td1 = time.time(); t_dev += td1 - th1
+        dev_ms.append((td1 - th1) / chunk * 1e3)
 
         kf_after = int(np.asarray(st.m.next_kf))
         loops0, merges0 = s.n_loops_closed, getattr(s, "n_gba_merges", 0)
@@ -156,6 +158,11 @@ def main():
             break
 
     s._poll_gba(blocking=True)
+    if dev_ms:
+        d = np.array(dev_ms)
+        log(f"device ms/frame: p10={np.percentile(d,10):.1f} "
+            f"p50={np.percentile(d,50):.1f} p90={np.percentile(d,90):.1f} "
+            f"p99={np.percentile(d,99):.1f} max={d.max():.1f}")
     if s.loop_closer is not None:
         log(f"loop stats: { {k: round(v, 1) if isinstance(v, float) else v for k, v in s.loop_closer.stats.items()} }")
     n_done = lo - n_warm
