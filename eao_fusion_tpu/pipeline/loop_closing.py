@@ -47,6 +47,8 @@ class LoopCloser:
         self.loop_edges: List[Tuple[int, int]] = []
         self._detect_jit = None
         self._onkf_jit = None
+        self._onkf_batch_jit = {}   # n_slots -> jitted batch detect
+        self._sim3_jit = None
         self.stats: dict = {}   # cumulative per-phase wall time / counts
         # asynchronous GBA state (see the "async GBA" section below)
         self._gba_thread = None
@@ -176,52 +178,56 @@ class LoopCloser:
     def compute_sim3(self, m: MapState, cur: int, cand: int, key,
                      debug: bool = False) -> Optional[jax.Array]:
         """Returns S (sim3 [8]) with pb(cur cam) ≈ S pa(cand cam), or None.
-        (`LoopClosing::ComputeSim3`, `src/LoopClosing.cc:231-420`.)"""
+        (`LoopClosing::ComputeSim3`, `src/LoopClosing.cc:231-420`.)
+        ONE fused device dispatch (mutual match + pair selection + RANSAC
+        + Sim3 GN) and one small pull — the pair set is a fixed 512-slot
+        masked table, so nothing retraces across candidates (a dynamic
+        pair count recompiled ransac/refine per attempt, ~10 s each on a
+        tunneled TPU, and the multi-dispatch structure cost ~300 ms per
+        attempt; revisit laps attempt dozens of candidates per closure)."""
         cfg = self.cfg
-        mm = matcher.mutual_match(
-            m.kf_desc_pm1[cand], m.kf_kp_valid[cand], m.kf_kp_angle[cand],
-            m.kf_desc_pm1[cur], m.kf_kp_valid[cur], m.kf_kp_angle[cur],
-            th=cfg.matcher.th_low, use_ratio=True, check_rotation=True)
-        tgt = np.asarray(mm.target_idx)
-        pt_a = np.asarray(m.kf_pt_idx[cand])
-        pt_b = np.asarray(m.kf_pt_idx[cur])
-        pairs = [(pt_a[i], pt_b[t]) for i, t in enumerate(tgt)
-                 if t >= 0 and pt_a[i] >= 0 and pt_b[t] >= 0]
+        if self._sim3_jit is None:
+            n_pair_pad = 512
+
+            def _sim3(m, cur, cand, key):
+                mm = matcher.mutual_match(
+                    m.kf_desc_pm1[cand], m.kf_kp_valid[cand],
+                    m.kf_kp_angle[cand],
+                    m.kf_desc_pm1[cur], m.kf_kp_valid[cur],
+                    m.kf_kp_angle[cur],
+                    th=cfg.matcher.th_low, use_ratio=True,
+                    check_rotation=True)
+                tgt = mm.target_idx                       # [N]
+                pt_a = m.kf_pt_idx[cand]
+                pt_b = m.kf_pt_idx[cur][jnp.clip(tgt, 0, None)]
+                ok = (tgt >= 0) & (pt_a >= 0) & (pt_b >= 0)
+                order = jnp.argsort(~ok)                  # valid first
+                sel = order[:n_pair_pad]
+                valid = ok[sel]
+                ia = jnp.where(valid, pt_a[sel], 0)
+                ib = jnp.where(valid, pt_b[sel], 0)
+                pa_c = lie.se3_apply(m.kf_pose[cand], m.pt_xyz[ia])
+                pb_c = lie.se3_apply(m.kf_pose[cur], m.pt_xyz[ib])
+                res = ransac.ransac_align(
+                    pa_c, pb_c, valid, key,
+                    with_scale=not cfg.loop.fix_scale_rgbd, inlier_th=0.10)
+                g = pose_graph.sim3_refine(
+                    pa_c, pb_c, res.inliers.astype(jnp.float32),
+                    res.transform, fix_scale=cfg.loop.fix_scale_rgbd)
+                return g, res.n_inliers, jnp.sum(valid.astype(jnp.int32))
+            self._sim3_jit = jax.jit(_sim3)
+        g, n_inl, n_pairs = self._sim3_jit(m, jnp.int32(cur),
+                                           jnp.int32(cand), key)
+        n_inl, n_pairs = jax.device_get((n_inl, n_pairs))
         if debug:
-            print(f"[loop]   sim3 {cand}->{cur}: n_match="
-                  f"{int((tgt >= 0).sum())} n_pairs={len(pairs)} "
-                  f"(need {cfg.loop.min_sim3_matches})", flush=True)
-        if len(pairs) < cfg.loop.min_sim3_matches:
+            print(f"[loop]   sim3 {cand}->{cur}: n_pairs={int(n_pairs)} "
+                  f"(need {cfg.loop.min_sim3_matches}), ransac inliers="
+                  f"{int(n_inl)} (need {cfg.loop.sim3_min_inliers})",
+                  flush=True)
+        if int(n_pairs) < cfg.loop.min_sim3_matches:
             return None
-        # FIXED-shape pair set: a dynamic length would retrace/recompile
-        # ransac_align + sim3_refine for every distinct match count (~10 s
-        # per loop candidate on a tunneled TPU — it dominated the round-4
-        # fr3-scale run's loop-closer time)
-        n_pair_pad = 512
-        n = min(len(pairs), n_pair_pad)
-        ia = np.zeros((n_pair_pad,), np.int64)
-        ib = np.zeros((n_pair_pad,), np.int64)
-        ia[:n] = [p[0] for p in pairs[:n]]
-        ib[:n] = [p[1] for p in pairs[:n]]
-        pa_w = m.pt_xyz[jnp.asarray(ia)]
-        pb_w = m.pt_xyz[jnp.asarray(ib)]
-        # to camera frames
-        pa_c = lie.se3_apply(m.kf_pose[cand], pa_w)
-        pb_c = lie.se3_apply(m.kf_pose[cur], pb_w)
-        valid = jnp.arange(n_pair_pad) < n
-        res = ransac.ransac_align(pa_c, pb_c, valid, key,
-                                  with_scale=not cfg.loop.fix_scale_rgbd,
-                                  inlier_th=0.10)
-        if debug:
-            print(f"[loop]   sim3 {cand}->{cur}: ransac inliers="
-                  f"{int(res.n_inliers)}/{len(pairs)} "
-                  f"(need {cfg.loop.sim3_min_inliers})", flush=True)
-        if int(res.n_inliers) < cfg.loop.sim3_min_inliers:
+        if int(n_inl) < cfg.loop.sim3_min_inliers:
             return None
-        g = pose_graph.sim3_refine(pa_c, pb_c,
-                                   res.inliers.astype(jnp.float32),
-                                   res.transform,
-                                   fix_scale=cfg.loop.fix_scale_rgbd)
         return g
 
     # ------------------------------------------------------- correct loop
@@ -859,6 +865,70 @@ class LoopCloser:
         return out
 
     # ------------------------------------------------------------ driver
+    def on_keyframes(self, m: MapState, slots, key
+                     ) -> Tuple[MapState, int, int]:
+        """Chunk-boundary batch form of on_keyframe: ONE device dispatch
+        computes the obs-indicator refresh, bow rows, covisibility
+        product and L1 scores for ALL keyframes a chunk inserted; the
+        host gating/consistency logic then runs per slot in insertion
+        order (semantics identical to serial on_keyframe calls — later
+        chunk slots are excluded from earlier slots' candidate sets by
+        the recent-keyframe mask regardless). Returns
+        (map, n_closed, last_closed_slot)."""
+        import os
+        import time as _time
+        slots = list(slots)
+        if not slots:
+            return m, 0, -1
+        dbg = os.environ.get("EAO_LOOP_DEBUG")
+        n = len(slots)
+        if n not in self._onkf_batch_jit:
+            def _batch(m, slots_a, bow):
+                from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
+                m = refresh_obs_ind(m)
+                vs = jax.vmap(
+                    lambda s: vocabulary.bow_vector(
+                        self.vocab, m.kf_desc_pm1[s], m.kf_kp_valid[s])
+                )(slots_a)
+                bow = bow.at[slots_a].set(vs)
+                Z = covisibility.observation_indicator(m)
+                covis = covisibility.covisibility_counts(Z)
+                scores = jax.vmap(
+                    lambda v: vocabulary.l1_scores(v, bow, m.kf_valid))(vs)
+                return m, bow, scores, covis
+            self._onkf_batch_jit[n] = jax.jit(_batch)
+        t0 = _time.time()
+        m, self.bow, scores_d, covis_d = self._onkf_batch_jit[n](
+            m, jnp.asarray(slots, jnp.int32), self.bow)
+        scores, covis, kf_valid = jax.device_get(
+            (scores_d, covis_d, m.kf_valid))
+        self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
+            + _time.time() - t0
+        self.stats["n_detect"] = self.stats.get("n_detect", 0) + n
+
+        n_closed, last_slot = 0, -1
+        for i, slot in enumerate(slots):
+            cand = self._detect_from_stats(int(slot), scores[i], covis,
+                                           kf_valid, debug=bool(dbg))
+            if cand < 0:
+                continue
+            t0 = _time.time()
+            key, k = jax.random.split(key)
+            g = self.compute_sim3(m, int(slot), cand, k, debug=bool(dbg))
+            self.stats["t_sim3"] = self.stats.get("t_sim3", 0.0) \
+                + _time.time() - t0
+            self.stats["n_sim3"] = self.stats.get("n_sim3", 0) + 1
+            if g is None:
+                continue
+            t0 = _time.time()
+            m = self.correct(m, int(slot), cand, g)
+            self.stats["t_correct"] = self.stats.get("t_correct", 0.0) \
+                + _time.time() - t0
+            self.stats["n_correct"] = self.stats.get("n_correct", 0) + 1
+            n_closed += 1
+            last_slot = int(slot)
+        return m, n_closed, last_slot
+
     def on_keyframe(self, m: MapState, slot: int, key) -> Tuple[MapState, bool]:
         import os
         dbg = os.environ.get("EAO_LOOP_DEBUG")

@@ -440,17 +440,17 @@ class System:
         self.map, self.track, self.objects = st.m, st.ts, st.objs
         self.frame_id = int(np.asarray(st.frame_id))
         self.n_keyframes = int(np.asarray(st.m.next_kf))
-        if self.loop_closer is not None:
-            for slot in range(kf_before, self.n_keyframes):
-                self.map, closed = self.loop_closer.on_keyframe(
-                    self.map, slot, self._next_key())
-                if closed:
-                    self.n_loops_closed += 1
-                    # loop correction moved poses/points
-                    self.track = self.track._replace(
-                        pose=self.map.kf_pose[slot],
-                        last_pose=self.map.kf_pose[slot],
-                        kp_pt=self.map.kf_pt_idx[slot])
+        if self.loop_closer is not None and kf_before < self.n_keyframes:
+            self.map, n_closed, last_slot = self.loop_closer.on_keyframes(
+                self.map, range(kf_before, self.n_keyframes),
+                self._next_key())
+            if n_closed:
+                self.n_loops_closed += n_closed
+                # loop correction moved poses/points
+                self.track = self.track._replace(
+                    pose=self.map.kf_pose[last_slot],
+                    last_pose=self.map.kf_pose[last_slot],
+                    kp_pt=self.map.kf_pt_idx[last_slot])
         self._poll_gba()
         pts_compacted = self._maybe_compact_points()
         self._maybe_compact_keyframes()
