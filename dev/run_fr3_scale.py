@@ -135,6 +135,8 @@ def main():
                 f"({done/el:.1f} fps avg)")
 
     s._poll_gba(blocking=True)
+    if s.loop_closer is not None:
+        log(f"loop stats: { {k: round(v, 1) if isinstance(v, float) else v for k, v in s.loop_closer.stats.items()} }")
     ct = np.array(chunk_times)
     n_timed = len(ct) * chunk
     fps = n_timed / ct.sum()

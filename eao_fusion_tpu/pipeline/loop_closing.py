@@ -881,7 +881,15 @@ class LoopCloser:
         if not slots:
             return m, 0, -1
         dbg = os.environ.get("EAO_LOOP_DEBUG")
-        n = len(slots)
+        # pad the slot list to a fixed bucket so ONE program serves any
+        # chunk (a compile per distinct keyframe count cost minutes each
+        # over the remote-compile tunnel); padding repeats slot 0, whose
+        # bow-row rewrite is idempotent, and the host loop below only
+        # visits the real slots
+        n_real = len(slots)
+        bucket = 8
+        n = min(((n_real + bucket - 1) // bucket) * bucket, 64)
+        slots_padded = (list(slots) + [slots[0]] * n)[:n]
         if n not in self._onkf_batch_jit:
             def _batch(m, slots_a, bow):
                 from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
@@ -899,15 +907,15 @@ class LoopCloser:
             self._onkf_batch_jit[n] = jax.jit(_batch)
         t0 = _time.time()
         m, self.bow, scores_d, covis_d = self._onkf_batch_jit[n](
-            m, jnp.asarray(slots, jnp.int32), self.bow)
+            m, jnp.asarray(slots_padded, jnp.int32), self.bow)
         scores, covis, kf_valid = jax.device_get(
             (scores_d, covis_d, m.kf_valid))
         self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
             + _time.time() - t0
-        self.stats["n_detect"] = self.stats.get("n_detect", 0) + n
+        self.stats["n_detect"] = self.stats.get("n_detect", 0) + n_real
 
         n_closed, last_slot = 0, -1
-        for i, slot in enumerate(slots):
+        for i, slot in enumerate(slots[:n_real]):
             cand = self._detect_from_stats(int(slot), scores[i], covis,
                                            kf_valid, debug=bool(dbg))
             if cand < 0:

@@ -79,28 +79,34 @@ def test_infer_arch():
                     reason="trained weights not present")
 def test_online_lane_with_trained_weights():
     """The async detector lane, loaded exactly as the System loads it,
-    must find the scene objects on a synthetic frame."""
+    must find the scene objects. Aggregated over several viewpoints of
+    the training world (a single frame made the test flaky against the
+    detector's per-view variance): box recall >= 0.6 and class accuracy
+    >= 0.8 on hits (round-3 verdict item 9 floor)."""
     params = yolox.load_params(WEIGHTS)
     depth_mult, n_classes = yolox.infer_arch(params)
     assert n_classes == 8
     det_lane = yolox.Detector(params, depth_mult=depth_mult,
                               n_classes=n_classes)
-    f = _seq_ct().frames[4]
-    rgb = np.repeat(np.asarray(f.gray, np.float32)[..., None], 3, axis=-1)
-    det_lane.submit(rgb)                    # async dispatch
-    det = det_lane.result()                 # join
-    assert det is not None and len(det) >= 1
-    hits = cls_hits = 0
-    for b in f.boxes:
-        iou = _iou_1(det, b)
-        j = int(np.argmax(iou))
-        if iou[j] >= 0.4:
-            hits += 1
-            cls_hits += int(det[j, 0]) == int(b[0])
-    assert hits >= max(1, len(f.boxes) // 2), \
-        f"only {hits}/{len(f.boxes)} GT boxes detected: {det}"
+    n_gt = hits = cls_hits = 0
+    for i in (0, 4, 8, 12, 16, 20):
+        f = _seq_ct().frames[i]
+        rgb = np.repeat(np.asarray(f.gray, np.float32)[..., None], 3,
+                        axis=-1)
+        det_lane.submit(rgb)                # async dispatch
+        det = det_lane.result()             # join
+        for b in f.boxes:
+            n_gt += 1
+            if det is None or not len(det):
+                continue
+            iou = _iou_1(det, b)
+            j = int(np.argmax(iou))
+            if iou[j] >= 0.4:
+                hits += 1
+                cls_hits += int(det[j, 0]) == int(b[0])
+    assert hits >= 0.6 * n_gt, f"recall {hits}/{n_gt}"
     # classes are canonical textures in this world — they must be learned
-    assert cls_hits >= (hits + 1) // 2, (cls_hits, hits, det)
+    assert cls_hits >= 0.8 * hits, (cls_hits, hits, n_gt)
 
 
 @pytest.mark.slow
