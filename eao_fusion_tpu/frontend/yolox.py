@@ -206,10 +206,14 @@ def decode_and_nms(raw: jax.Array, scale: jax.Array, n_classes: int = 80
     inter = jnp.maximum(ix1 - ix0, 0) * jnp.maximum(iy1 - iy0, 0)
     area = jnp.maximum(bw, 0) * jnp.maximum(bh, 0)
     iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
-    same = bc[:, None] == bc[None, :]
+    # CLASS-AGNOSTIC suppression: the reference's NmsSortedBboxes compares
+    # boxes regardless of label (`src/YOLOX.cc:131-163`) — a class-wise NMS
+    # (official multi-label YOLOX style) keeps near-duplicate boxes with
+    # different class heads alive, which measurably corrupted the online
+    # lane's class assignments on the synthetic-trained detector
 
     def body(i, keep):
-        sup = keep & same[i] & (iou[i] > NMS_THRESHOLD) & \
+        sup = keep & (iou[i] > NMS_THRESHOLD) & \
             (jnp.arange(K) > i) & keep[i]
         return keep & (~sup)
 

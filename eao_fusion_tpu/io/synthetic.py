@@ -112,20 +112,24 @@ def _class_texture(k: int) -> np.ndarray:
     needs to learn the class head (random per-scene textures make class
     labels pure noise).
 
-    The class signature is SPATIAL — square-wave stripes whose period
-    (k//2 -> {12, 20, 32, 52} px) and orientation (k%2 -> 0°/90°) encode
-    the class — because spatial structure survives the training-time
-    photometric jitter; the previous intensity-band encoding did not
-    (±0.1 brightness / 0.8-1.2 contrast jitter shifts a band by about a
-    full class step, which capped held-out class accuracy at 0.65)."""
+    The class signature is SPATIAL and LOW-FREQUENCY — k//2+1 full
+    stripe cycles across the whole texture, oriented by k%2 — because it
+    must survive BOTH the training-time photometric jitter (an intensity
+    code does not: ±0.1 brightness shifts a band a full class step) and
+    RENDERING SCALE: objects project to 40-130 px, so a fixed pixel-pitch
+    stripe on the 512² texture (the round-3 12-52 px encoding) is far
+    below Nyquist on screen and aliases to noise — measured as train-
+    scene class accuracy 0.95 vs held-out 0.43 (the head could only
+    memorize contexts). 1-4 broad bands stay readable at 40 px."""
     rc = np.random.default_rng(1000 + k)
     base = (_blocky_texture if k % 2 == 0 else _voronoi_texture)(rc)
     size = base.shape[0]
-    period = (12.0, 20.0, 32.0, 52.0)[(k // 2) % 4]
+    n_cycles = (k // 2) % 4 + 1              # 1..4 cycles across the face
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     coord = xx if k % 2 == 0 else yy
-    stripe = (np.sin(2.0 * np.pi * coord / period) > 0).astype(np.float32)
-    return np.clip(0.15 + 0.4 * base + 0.45 * stripe, 0.0, 1.0)
+    stripe = (np.sin(2.0 * np.pi * coord * n_cycles / size) > 0
+              ).astype(np.float32)
+    return np.clip(0.1 + 0.3 * base + 0.6 * stripe, 0.0, 1.0)
 
 
 def make_room_scene(seed: int = 0, n_objects: int = 4,
@@ -439,7 +443,7 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     cam = camera or CameraConfig()
     closed = style in ("spin", "spin15", "tour")
     tex_tag = "" if texture == "blocky" else f"_t{texture}"
-    ct_tag = "_ct2" if class_textures else ""   # v2: stripe-coded classes
+    ct_tag = "_ct3" if class_textures else ""   # v3: low-freq band classes
     key = (f"seq_v3_n{n_frames}_s{seed}_{style}_dn{depth_noise}_o{n_objects}"
            f"{tex_tag}{ct_tag}_{cam.width}x{cam.height}_f{cam.fx:.1f}.npz")
     path = os.path.join(cache_dir, key) if cache_dir else None

@@ -25,13 +25,18 @@ TRAIN_SPECS = [  # (style, seed, n_objects, texture)
     ("arc", 0, 4, "blocky"), ("arc", 1, 6, "blocky"),
     ("arc", 2, 8, "blocky"), ("loop", 3, 6, "blocky"),
     ("loop", 4, 8, "aperiodic"), ("spin", 5, 6, "aperiodic"),
+    # round-4 additions: more viewpoint/scale/background diversity for the
+    # class head (held-out cls_acc 0.65 -> target >= 0.8)
+    ("arc", 6, 6, "aperiodic"), ("spin", 7, 8, "blocky"),
+    ("loop", 8, 4, "blocky"), ("spin", 10, 4, "aperiodic"),
+    ("arc", 11, 8, "aperiodic"), ("loop", 12, 6, "aperiodic"),
 ]
 VAL_SPEC = ("arc", 9, 5, "blocky")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--width", type=float, default=0.25)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=24)
