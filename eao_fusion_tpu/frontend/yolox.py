@@ -173,8 +173,10 @@ def decode_and_nms(raw: jax.Array, scale: jax.Array, n_classes: int = 80
                    ) -> jax.Array:
     """raw [A, 5+n_classes] -> detections [MAX_DETECTIONS, 6]
     (class, x, y, w, h, score) in original-image pixels; empty rows have
-    score 0. Anchor-free decode (`GenerateYoloxProposals`) + class-wise
-    greedy NMS over the top-k candidates."""
+    score 0. Anchor-free decode (`GenerateYoloxProposals`) + CLASS-AGNOSTIC
+    greedy NMS over the top-k candidates (matching the reference's
+    NmsSortedBboxes, `src/YOLOX.cc:131-163`, which compares boxes
+    regardless of label)."""
     grid = jnp.asarray(_GRID)
     stride = jnp.asarray(_STRIDE)
     cx = (raw[:, 0] + grid[:, 0]) * stride

@@ -50,16 +50,21 @@ def _reproj_rmse(m, kf, pt_sel, cam):
 
 
 def test_merge_inflight_keyframes_deterministic():
-    """Snapshot at frame 12, solve GBA on the snapshot, keep tracking 8
+    """Snapshot at frame 20, solve GBA on the snapshot, keep tracking 8
     more frames (new keyframes + points on the live map), then merge.
     In-snapshot keyframes must take their GBA poses; keyframes and points
     created during the flight must survive the merge with consistent
-    geometry (their mutual reprojection residuals are preserved)."""
-    seq = synthetic.generate_sequence(n_frames=20, seed=0, style="arc",
+    geometry (their mutual reprojection residuals are preserved).
+
+    (The snapshot is taken at 20 frames, not 12: redundancy culling
+    legitimately removes ~2 of the arc's revisited keyframes during the
+    flight window, and the pose-merge check below needs >=3 surviving
+    snapshot keyframes for coverage.)"""
+    seq = synthetic.generate_sequence(n_frames=28, seed=0, style="arc",
                                       cache_dir=synthetic.DEFAULT_CACHE)
     cfg = _cfg()
     s = System(cfg)
-    for f in seq.frames[:12]:
+    for f in seq.frames[:20]:
         s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
     lc = s.loop_closer
     m_snap = s.map
@@ -73,7 +78,7 @@ def test_merge_inflight_keyframes_deterministic():
     res = lc._run_gba_stages(prob, plane_free)
     n_kf_snap = int(np.asarray(m_snap.next_kf))
 
-    for f in seq.frames[12:20]:
+    for f in seq.frames[20:28]:
         s.process_frame(f.gray, f.depth, timestamp=f.timestamp)
     m_live = s.map
     assert int(np.asarray(m_live.next_kf)) > n_kf_snap

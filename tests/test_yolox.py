@@ -52,11 +52,16 @@ class TestDecode:
         det = np.asarray(yolox.decode_and_nms(raw, jnp.float32(1.0)))
         det = det[det[:, 5] > 0]
         assert len(det) == 2
-        # different classes are not suppressed against each other
+        # NMS is CLASS-AGNOSTIC per the reference's NmsSortedBboxes
+        # (src/YOLOX.cc:131-163): an overlapping lower-score box is
+        # suppressed even when its class differs, and the survivor is
+        # the higher-score box.
         raw2 = make_raw([(5, 300.0, 200.0, 80.0, 80.0, 0.9),
                          (6, 308.0, 200.0, 80.0, 80.0, 0.7)])
         det2 = np.asarray(yolox.decode_and_nms(raw2, jnp.float32(1.0)))
-        assert len(det2[det2[:, 5] > 0]) == 2
+        det2 = det2[det2[:, 5] > 0]
+        assert len(det2) == 1
+        assert det2[0, 0] == 5 and abs(det2[0, 5] - 0.9) < 0.02
 
     def test_scale_rescales_to_original_image(self):
         raw = make_raw([(0, 320.0, 240.0, 64.0, 48.0, 0.9)])
