@@ -201,7 +201,13 @@ class LoopCloser:
                 pt_a = m.kf_pt_idx[cand]
                 pt_b = m.kf_pt_idx[cur][jnp.clip(tgt, 0, None)]
                 ok = (tgt >= 0) & (pt_a >= 0) & (pt_b >= 0)
-                order = jnp.argsort(~ok)                  # valid first
+                # valid pairs first, BEST (lowest Hamming distance) matches
+                # leading — so when >512 valid pairs exist, the truncated
+                # window keeps the highest-quality correspondences rather
+                # than an arbitrary keypoint-slot prefix (the reference
+                # feeds ALL matched pairs to its Sim3 RANSAC,
+                # `src/Sim3Solver.cc:39-80`)
+                order = jnp.argsort(jnp.where(ok, mm.dist, jnp.inf))
                 sel = order[:n_pair_pad]
                 valid = ok[sel]
                 ia = jnp.where(valid, pt_a[sel], 0)
@@ -868,73 +874,81 @@ class LoopCloser:
     def on_keyframes(self, m: MapState, slots, key
                      ) -> Tuple[MapState, int, int]:
         """Chunk-boundary batch form of on_keyframe: ONE device dispatch
-        computes the obs-indicator refresh, bow rows, covisibility
-        product and L1 scores for ALL keyframes a chunk inserted; the
-        host gating/consistency logic then runs per slot in insertion
-        order (semantics identical to serial on_keyframe calls — later
-        chunk slots are excluded from earlier slots' candidate sets by
-        the recent-keyframe mask regardless). Returns
-        (map, n_closed, last_closed_slot)."""
+        per sub-batch of <=64 slots computes the obs-indicator refresh,
+        bow rows, covisibility product and L1 scores; the host
+        gating/consistency logic then runs per slot in insertion order.
+        After any successful correct() the fused stats are RECOMPUTED
+        for the remaining slots, so later slots never gate on stale
+        covisibility/scores — exact serial on_keyframe semantics at
+        closure cost (closures are rare: one extra dispatch each).
+        Returns (map, n_closed, last_closed_slot)."""
         import os
         import time as _time
-        slots = list(slots)
+        slots = [int(s) for s in slots]
         if not slots:
             return m, 0, -1
         dbg = os.environ.get("EAO_LOOP_DEBUG")
-        # pad the slot list to a fixed bucket so ONE program serves any
-        # chunk (a compile per distinct keyframe count cost minutes each
-        # over the remote-compile tunnel); padding repeats slot 0, whose
-        # bow-row rewrite is idempotent, and the host loop below only
-        # visits the real slots
-        n_real = len(slots)
-        bucket = 8
-        n = min(((n_real + bucket - 1) // bucket) * bucket, 64)
-        slots_padded = (list(slots) + [slots[0]] * n)[:n]
-        if n not in self._onkf_batch_jit:
-            def _batch(m, slots_a, bow):
-                from eao_fusion_tpu.mapping.map_state import refresh_obs_ind
-                m = refresh_obs_ind(m)
-                vs = jax.vmap(
-                    lambda s: vocabulary.bow_vector(
-                        self.vocab, m.kf_desc_pm1[s], m.kf_kp_valid[s])
-                )(slots_a)
-                bow = bow.at[slots_a].set(vs)
-                Z = covisibility.observation_indicator(m)
-                covis = covisibility.covisibility_counts(Z)
-                scores = jax.vmap(
-                    lambda v: vocabulary.l1_scores(v, bow, m.kf_valid))(vs)
-                return m, bow, scores, covis
-            self._onkf_batch_jit[n] = jax.jit(_batch)
-        t0 = _time.time()
-        m, self.bow, scores_d, covis_d = self._onkf_batch_jit[n](
-            m, jnp.asarray(slots_padded, jnp.int32), self.bow)
-        scores, covis, kf_valid = jax.device_get(
-            (scores_d, covis_d, m.kf_valid))
-        self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
-            + _time.time() - t0
-        self.stats["n_detect"] = self.stats.get("n_detect", 0) + n_real
-
         n_closed, last_slot = 0, -1
-        for i, slot in enumerate(slots[:n_real]):
-            cand = self._detect_from_stats(int(slot), scores[i], covis,
-                                           kf_valid, debug=bool(dbg))
-            if cand < 0:
-                continue
+        idx = 0
+        while idx < len(slots):
+            sub = slots[idx:idx + 64]
+            # pad the slot list to a fixed bucket so ONE program serves
+            # any chunk (a compile per distinct keyframe count cost
+            # minutes each over the remote-compile tunnel); padding
+            # repeats the first slot, whose bow-row rewrite is
+            # idempotent, and the host loop below only visits real slots
+            n_real = len(sub)
+            bucket = 8
+            n = min(((n_real + bucket - 1) // bucket) * bucket, 64)
+            slots_padded = (sub + [sub[0]] * n)[:n]
+            if n not in self._onkf_batch_jit:
+                def _batch(m, slots_a, bow):
+                    from eao_fusion_tpu.mapping.map_state import \
+                        refresh_obs_ind
+                    m = refresh_obs_ind(m)
+                    vs = jax.vmap(
+                        lambda s: vocabulary.bow_vector(
+                            self.vocab, m.kf_desc_pm1[s], m.kf_kp_valid[s])
+                    )(slots_a)
+                    bow = bow.at[slots_a].set(vs)
+                    Z = covisibility.observation_indicator(m)
+                    covis = covisibility.covisibility_counts(Z)
+                    scores = jax.vmap(
+                        lambda v: vocabulary.l1_scores(v, bow, m.kf_valid)
+                    )(vs)
+                    return m, bow, scores, covis
+                self._onkf_batch_jit[n] = jax.jit(_batch)
             t0 = _time.time()
-            key, k = jax.random.split(key)
-            g = self.compute_sim3(m, int(slot), cand, k, debug=bool(dbg))
-            self.stats["t_sim3"] = self.stats.get("t_sim3", 0.0) \
+            m, self.bow, scores_d, covis_d = self._onkf_batch_jit[n](
+                m, jnp.asarray(slots_padded, jnp.int32), self.bow)
+            scores, covis, kf_valid = jax.device_get(
+                (scores_d, covis_d, m.kf_valid))
+            self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
                 + _time.time() - t0
-            self.stats["n_sim3"] = self.stats.get("n_sim3", 0) + 1
-            if g is None:
-                continue
-            t0 = _time.time()
-            m = self.correct(m, int(slot), cand, g)
-            self.stats["t_correct"] = self.stats.get("t_correct", 0.0) \
-                + _time.time() - t0
-            self.stats["n_correct"] = self.stats.get("n_correct", 0) + 1
-            n_closed += 1
-            last_slot = int(slot)
+            self.stats["n_detect"] = self.stats.get("n_detect", 0) + n_real
+
+            for i, slot in enumerate(sub):
+                idx += 1
+                cand = self._detect_from_stats(slot, scores[i], covis,
+                                               kf_valid, debug=bool(dbg))
+                if cand < 0:
+                    continue
+                t0 = _time.time()
+                key, k = jax.random.split(key)
+                g = self.compute_sim3(m, slot, cand, k, debug=bool(dbg))
+                self.stats["t_sim3"] = self.stats.get("t_sim3", 0.0) \
+                    + _time.time() - t0
+                self.stats["n_sim3"] = self.stats.get("n_sim3", 0) + 1
+                if g is None:
+                    continue
+                t0 = _time.time()
+                m = self.correct(m, slot, cand, g)
+                self.stats["t_correct"] = self.stats.get("t_correct", 0.0) \
+                    + _time.time() - t0
+                self.stats["n_correct"] = self.stats.get("n_correct", 0) + 1
+                n_closed += 1
+                last_slot = slot
+                break  # re-dispatch: remaining slots need fresh stats
         return m, n_closed, last_slot
 
     def on_keyframe(self, m: MapState, slot: int, key) -> Tuple[MapState, bool]:

@@ -441,16 +441,35 @@ class System:
         self.frame_id = int(np.asarray(st.frame_id))
         self.n_keyframes = int(np.asarray(st.m.next_kf))
         if self.loop_closer is not None and kf_before < self.n_keyframes:
+            # anchor: the chunk's newest keyframe (slot indices are the
+            # insertion counter until compaction, which runs below)
+            anchor = self.n_keyframes - 1
+            anchor_pose_old = self.map.kf_pose[anchor]
             self.map, n_closed, last_slot = self.loop_closer.on_keyframes(
                 self.map, range(kf_before, self.n_keyframes),
                 self._next_key())
             if n_closed:
                 self.n_loops_closed += n_closed
-                # loop correction moved poses/points
+                # Propagate the correction to the tracker via the anchor
+                # keyframe's pose delta (T' = T ∘ T_aw_old⁻¹ ∘ T_aw_new):
+                # the chunk's final frame keeps its in-chunk motion
+                # relative to the anchor instead of rewinding to the
+                # closed keyframe (which may sit frames earlier and whose
+                # kf_pt_idx is keyed to the KEYFRAME's keypoint order,
+                # not last_feats'). Point associations survive; ids
+                # invalidated by loop fusion are dropped and re-found by
+                # the next local-map search.
+                delta = lie.se3_compose(lie.se3_inverse(anchor_pose_old),
+                                        self.map.kf_pose[anchor])
+                kp_pt = self.track.kp_pt
+                kp_pt = jnp.where(
+                    (kp_pt >= 0)
+                    & self.map.pt_valid[jnp.clip(kp_pt, 0, None)],
+                    kp_pt, -1)
                 self.track = self.track._replace(
-                    pose=self.map.kf_pose[last_slot],
-                    last_pose=self.map.kf_pose[last_slot],
-                    kp_pt=self.map.kf_pt_idx[last_slot])
+                    pose=lie.se3_compose(self.track.pose, delta),
+                    last_pose=lie.se3_compose(self.track.last_pose, delta),
+                    kp_pt=kp_pt)
         self._poll_gba()
         pts_compacted = self._maybe_compact_points()
         self._maybe_compact_keyframes()
