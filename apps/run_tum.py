@@ -281,6 +281,12 @@ def main(argv=None):
     print(f"wrote {args.out} ({len(s.trajectory)} poses, "
           f"{s.n_keyframes} keyframes, loops={s.n_loops_closed}, "
           f"relocs={s.n_relocalizations})")
+    if s.n_kf_evictions or s.n_kf_compactions or s.n_pt_compactions \
+            or s.n_gba_merges:
+        print(f"map lifecycle: evicted_kfs={s.n_kf_evictions} "
+              f"kf_compactions={s.n_kf_compactions} "
+              f"pt_compactions={s.n_pt_compactions} "
+              f"gba_merges={s.n_gba_merges}")
     if args.kitti:
         tum.write_trajectory_kitti(args.kitti, s.trajectory_tcw())
     if args.kf_out:
@@ -295,6 +301,15 @@ def main(argv=None):
                 fh.write(json.dumps(
                     {"frame": i + off,
                      "t": round(s.timestamps[i + off], 6), **d}) + "\n")
+            for ev in s.events:     # eviction/compaction event records
+                fh.write(json.dumps(ev) + "\n")
+            fh.write(json.dumps(
+                {"event": "summary", "loops": s.n_loops_closed,
+                 "relocs": s.n_relocalizations,
+                 "evicted_kfs": s.n_kf_evictions,
+                 "kf_compactions": s.n_kf_compactions,
+                 "pt_compactions": s.n_pt_compactions,
+                 "gba_merges": s.n_gba_merges}) + "\n")
         print(f"wrote {args.log_jsonl} ({len(s.diags)} frame records)")
     if args.viz_dir:
         from eao_fusion_tpu.utils import viz

@@ -152,6 +152,12 @@ def main():
         "ate_cm": round(float(err.ate_rmse) * 100, 2),
         "loops_closed": int(s.n_loops_closed),
         "gba_merges": int(gba_merges),
+        "gba_aborts": int(s.loop_closer.stats.get("n_gba_aborts", 0))
+        if s.loop_closer else 0,
+        "evicted_kfs": int(s.n_kf_evictions),
+        "kf_compactions": int(s.n_kf_compactions),
+        "pt_compactions": int(s.n_pt_compactions),
+        "relocs": int(s.n_relocalizations),
         "lifetime_kf_insertions": int(lifetime_kf),
         "peak_kf_live": int(peak_kf_live),
         "peak_points": int(peak_pts),

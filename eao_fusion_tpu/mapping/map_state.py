@@ -46,6 +46,9 @@ class MapState(NamedTuple):
     kf_kp_valid: jax.Array    # [K, N] bool
     kf_desc_pm1: jax.Array    # [K, N, 256] int8
     kf_pt_idx: jax.Array      # [K, N] int32 — map-point id per slot, -1 none
+    kf_by_obj: jax.Array      # [K] bool — created for a new map object
+                              # (`mbCreatedByObjs`: exempt from redundancy
+                              # culling, `src/LocalMapping.cc:650`)
     # --- map points ------------------------------------------------------
     pt_xyz: jax.Array         # [P, 3]
     pt_valid: jax.Array       # [P] bool
@@ -111,6 +114,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_desc_pm1=jnp.zeros((K, N, 256), jnp.int8),
         kf_pt_idx=jnp.full((K, N), -1, jnp.int32),
+        kf_by_obj=jnp.zeros((K,), bool),
         pt_xyz=jnp.zeros((P, 3), f32),
         pt_valid=jnp.zeros((P,), bool),
         pt_desc_pm1=jnp.zeros((P, 256), jnp.int8),
@@ -140,12 +144,16 @@ def empty_map(cfg: SystemConfig) -> MapState:
 # --------------------------------------------------------------- insertion
 
 def insert_keyframe(m: MapState, feats: FrameFeatures, pose: jax.Array,
-                    frame_id, timestamp, kp_pt_idx: jax.Array) -> Tuple[MapState, jax.Array]:
+                    frame_id, timestamp, kp_pt_idx: jax.Array,
+                    by_obj=False) -> Tuple[MapState, jax.Array]:
     """Append a keyframe at slot next_kf. kp_pt_idx [N] carries the tracked
-    map-point association of each keypoint slot (-1 = none). Returns
+    map-point association of each keypoint slot (-1 = none). `by_obj` marks
+    a keyframe inserted because a new map object appeared (the reference's
+    `mbCreatedByObjs`) — it is exempt from redundancy culling. Returns
     (new_map, kf_slot). Pure; caller gates on capacity."""
     k = m.next_kf
     m = m._replace(
+        kf_by_obj=m.kf_by_obj.at[k].set(jnp.asarray(by_obj, bool)),
         kf_pose=m.kf_pose.at[k].set(pose),
         kf_valid=m.kf_valid.at[k].set(True),
         kf_frame_id=m.kf_frame_id.at[k].set(jnp.int32(frame_id)),
@@ -412,6 +420,7 @@ def compact_keyframes(m: MapState) -> Tuple[MapState, jax.Array]:
         kf_kp_valid=scat(m.kf_kp_valid, False),
         kf_desc_pm1=scat(m.kf_desc_pm1, 0),
         kf_pt_idx=scat(m.kf_pt_idx, -1),
+        kf_by_obj=scat(m.kf_by_obj, False),
         kf_pl_coeff=scat(m.kf_pl_coeff, 0.0),
         kf_pl_idx=scat(m.kf_pl_idx, -1),
         obs_ind=scat(m.obs_ind, False),
@@ -489,8 +498,11 @@ def evict_keyframes(m: MapState, n_evict: int,
     # relevance = strongest tie to the protected (recent) window
     rel = jnp.max(jnp.where(protected[None, :], covis, -1.0), axis=1)
     # evict lowest relevance, oldest first on ties (rel is integer-valued
-    # shared-point counts, so a 1e4 scale keeps idx strictly a tie-break)
-    score = rel * 1e4 + idx.astype(jnp.float32)
+    # shared-point counts, so a 1e4 scale keeps idx strictly a tie-break);
+    # object-created keyframes (the only observers anchoring a young
+    # object's points) are deprioritized below everything else
+    score = rel * 1e4 + idx.astype(jnp.float32) \
+        + jnp.where(m.kf_by_obj, 1e8, 0.0)
     score = jnp.where(m.kf_valid & (~protected), score, jnp.inf)
     victim_score, victims = jax.lax.top_k(-score, n_evict)
     ok = victim_score > -jnp.inf

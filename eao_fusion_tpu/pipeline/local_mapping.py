@@ -283,7 +283,11 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array,
         ratio = n_red / jnp.maximum(n_tracked, 1.0)
 
         local = covis[cur_kf] >= 15
+        # keyframes created for a new object are never culled — they are
+        # the only observers anchoring the young object's points
+        # (`mbCreatedByObjs` guard, `src/LocalMapping.cc:650`)
         cand = (m.kf_valid & local & (ratio > redundancy) & (n_tracked > 20)
+                & (~m.kf_by_obj)
                 & (jnp.arange(m.max_kf) != 0)
                 & (jnp.arange(m.max_kf) < m.next_kf - 2))
         victim = jnp.argmax(jnp.where(cand, ratio, -1.0))

@@ -708,6 +708,8 @@ class LoopCloser:
         if t is not None:
             self._gba_abort.set()
             t.join()
+            self.stats["n_gba_aborts"] = \
+                self.stats.get("n_gba_aborts", 0) + 1
         self._gba_thread = None
         self._gba_out = None
         self._gba_snap = None

@@ -49,12 +49,14 @@ class SteadyState(NamedTuple):
     key: jax.Array               # PRNG
 
 
-def _keyframe_branch(m, ts, feats, fp, fid, timestamp, cfg: SystemConfig):
+def _keyframe_branch(m, ts, feats, fp, fid, timestamp, cfg: SystemConfig,
+                     by_obj=False):
     """Insertion + plane landmark update + local mapping, mirroring
     System.process_frame's keyframe path (`src/Tracking.cc:2521` +
     `LocalMapping::Run`)."""
     cam = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
-    m, slot = ms.insert_keyframe(m, feats, ts.pose, fid, timestamp, ts.kp_pt)
+    m, slot = ms.insert_keyframe(m, feats, ts.pose, fid, timestamp, ts.kp_pt,
+                                 by_obj=by_obj)
     m = ms.create_points_from_depth(m, slot, feats, ts.pose, ts.kp_pt,
                                     float(cfg.camera.depth_threshold), cam,
                                     fid, scale_factor=cfg.orb.scale_factor,
@@ -97,26 +99,38 @@ def slam_step(st: SteadyState, gray: jax.Array, depth: jax.Array,
     m, ts, diag = tracking.track_frame(m, ts, feats, fid, fp, cfg=cfg)
 
     # ---- object lane (per frame) ----
+    new_obj = jnp.bool_(False)
     if cfg.use_objects:
         fo = om.build_frame_objects(boxes, feats, ts.kp_pt, m.pt_xyz,
                                     m.pt_valid, ts.pose, cfg=cfg)
         fo = om.merge_frame_objects(fo, last_fo, m.pt_valid, cfg=cfg)
         assoc = association.ensemble_associate(objs, fo, m.pt_xyz, ts.pose,
                                                fid, cfg=cfg)
+        prev_next_obj = objs.next_obj
         objs = obj_update.object_update(objs, fo, assoc, m.pt_xyz, ts.pose,
                                         fid, k_obj, cfg=cfg)
+        new_obj = objs.next_obj > prev_next_obj
         last_fo = fo
 
     # ---- keyframe branch ----
+    by_obj = jnp.bool_(False)
     if kf_every:
         need = (fid % kf_every == 0) & (ts.status == tracking.STATUS_OK)
     else:
-        need = diag["need_kf"] & (ts.status == tracking.STATUS_OK)
+        need_classic = diag["need_kf"] & (ts.status == tracking.STATUS_OK)
+        # a newly created map object also triggers a keyframe (the
+        # reference's NeedNewKeyFrame returns 2 on AppearNewObject,
+        # `src/Tracking.cc:2390-2462`); such keyframes carry the
+        # `kf_by_obj` culling exemption
+        need_obj = new_obj & (ts.status == tracking.STATUS_OK)
+        need = need_classic | need_obj
+        by_obj = need_obj & (~need_classic)
     need = need & (m.next_kf < m.max_kf)
 
     def kf_fn(args):
         m, ts, objs = args
-        m, ts = _keyframe_branch(m, ts, feats, fp, fid, timestamp, cfg)
+        m, ts = _keyframe_branch(m, ts, feats, fp, fid, timestamp, cfg,
+                                 by_obj=by_obj)
         if cfg.use_objects:
             objs = obj_merge.merge_and_overlap(objs, m.pt_xyz, k_merge,
                                                cfg=cfg)

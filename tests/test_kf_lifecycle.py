@@ -119,6 +119,42 @@ def test_evict_keyframes_protects_window():
     assert valid2[n_kf - 1]
 
 
+def test_object_created_kf_exempt_from_culling():
+    """`mbCreatedByObjs` guard (`src/LocalMapping.cc:650`): a keyframe
+    created for a new object survives a redundancy-cull pass that would
+    otherwise remove it."""
+    from eao_fusion_tpu.pipeline import local_mapping
+    s, _ = _build_small_map()
+    m = s.map
+    cur = jnp.int32(int(np.asarray(m.next_kf)) - 1)
+    cull = jax.jit(lambda m, c: local_mapping.cull_keyframes(
+        m, c, redundancy=0.5))
+    base = cull(m, cur)
+    victims = np.where(np.asarray(m.kf_valid)
+                       & ~np.asarray(base.kf_valid))[0]
+    assert len(victims) >= 1, "scenario produced no culls; tighten it"
+    v = int(victims[0])
+    m_obj = m._replace(kf_by_obj=m.kf_by_obj.at[v].set(True))
+    out = cull(m_obj, cur)
+    assert bool(np.asarray(out.kf_valid)[v])
+
+
+def test_object_created_kf_deprioritized_in_eviction():
+    """Capacity eviction prefers any other candidate over an
+    object-created keyframe (it may anchor a young object's points)."""
+    s, _ = _build_small_map()
+    m = s.map
+    ev = jax.jit(ms.evict_keyframes, static_argnums=(1,))(
+        m, 2, protect_recent=2)
+    victims = np.where(np.asarray(m.kf_valid) & ~np.asarray(ev.kf_valid))[0]
+    assert len(victims) >= 1
+    v = int(victims[0])
+    m_obj = m._replace(kf_by_obj=m.kf_by_obj.at[v].set(True))
+    ev2 = jax.jit(ms.evict_keyframes, static_argnums=(1,))(
+        m_obj, 2, protect_recent=2)
+    assert bool(np.asarray(ev2.kf_valid)[v])
+
+
 def test_system_compaction_keeps_tracking():
     """Force a compaction mid-run and check tracking + trajectory refs
     survive (the corrected trajectory stays consistent)."""
