@@ -201,13 +201,15 @@ def main(argv=None):
             return out
 
         st = steady.init_steady_state(s)
+        kf_hint = None
         for lo in range(0, len(frames), chunked):
             batch = frames[lo:lo + chunked]
             grays = jnp.asarray(np.stack([f[1] for f in batch]))
             depths = jnp.asarray(np.stack([f[2] for f in batch]))
             bxs = jnp.asarray(np.stack([pad_boxes(f[3]) for f in batch]))
             tss = jnp.asarray([f[0] for f in batch], jnp.float32)
-            kf_before = int(np.asarray(st.m.next_kf))
+            kf_before = kf_hint if kf_hint is not None \
+                else int(np.asarray(st.m.next_kf))
             st, diag = steady.slam_chunk(st, grays, depths, bxs, tss,
                                          cfg=cfg)
             poses = np.asarray(diag["pose"])
@@ -223,6 +225,7 @@ def main(argv=None):
             # closing per new keyframe, async-GBA merge, point/keyframe
             # compaction, lost-recovery relocalization
             st = s.chunk_epilogue(st, kf_before)
+            kf_hint = s.next_kf_hint
 
     t0 = time.time()
     chunk_frames = []   # frames deferred to the steady chunked path

@@ -103,6 +103,7 @@ def main():
                 jnp.stack([staged[i][2] for i in idxs]))
 
     t_run0 = time.time()
+    kf_hint = None
     for lo in range(n_warm, n_total, chunk):
         idxs = order[lo:lo + chunk]
         if len(idxs) < chunk:
@@ -111,12 +112,13 @@ def main():
         grays, depths, bxs = stage(idxs)
         tss = jnp.asarray([(lo + j) / 30.0 for j in range(len(idxs))],
                           jnp.float32)
-        kf_before = int(np.asarray(st.m.next_kf))
+        kf_before = kf_hint if kf_hint is not None \
+            else int(np.asarray(st.m.next_kf))
         st, diag = steady.slam_chunk(st, grays, depths, bxs, tss, cfg=cfg)
         poses_all.append(np.asarray(diag["pose"]))
-        kf_after = int(np.asarray(st.m.next_kf))
-        lifetime_kf += kf_after - kf_before
         st = s.chunk_epilogue(st, kf_before)
+        lifetime_kf += s.n_keyframes - kf_before
+        kf_hint = s.next_kf_hint
         gba_merges = getattr(s, "n_gba_merges", 0)
         dt = time.time() - tc0
         if t_first_chunk is None:
@@ -130,7 +132,7 @@ def main():
             done = lo + chunk - n_warm
             el = time.time() - t_run0
             log(f"[{time.time()-t0:.1f}s] frame {lo+chunk}/{n_total} "
-                f"kf_next={kf_after} live={peak_kf_live} "
+                f"kf_next={kf_hint} live={peak_kf_live} "
                 f"pts={peak_pts} loops={s.n_loops_closed} "
                 f"({done/el:.1f} fps avg)")
 

@@ -298,14 +298,26 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array,
     return jax.lax.fori_loop(0, max_cull, round_, m)
 
 
-def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:
+def cull_points(m: MapState, cur_kf: jax.Array,
+                min_obs: int = 2) -> MapState:
     """MapPointCulling (`src/LocalMapping.cc:174-209`). The reference only
     tests points still in `mlpRecentAddedMapPoints` — a point that survives
-    3 keyframes graduates and is never re-tested. Applying the obs<3 rule
+    3 keyframes graduates and is never re-tested. Applying the obs rule
     to ALL points retro-culls graduated landmarks whenever keyframe culling
     or outlier removal drops their count, which strip-mines the map's
     reserve during rotation-heavy motion (measured on the spin15 loop
-    scenario: 491 -> 181 valid points in 4 keyframes)."""
+    scenario: 491 -> 181 valid points in 4 keyframes).
+
+    `min_obs` is the surviving DISTINCT-keyframe observation count. The
+    reference's gate is `Observations() <= 3` where an RGBD/stereo
+    observation counts DOUBLE (`nObs += 2`, `src/MapPoint.cc:106`) — so
+    an RGBD point seen by just 2 keyframes has nObs=4 and survives:
+    min_obs=2. A monocular point needs 3 distinct keyframes (nObs += 1,
+    cnThObs=2 in mono mode): min_obs=3. Requiring 3 distinct keyframes
+    of RGBD points was the round-4 natural-cadence churn: on revisit
+    laps it culled ~97% of lifetime point insertions, starving
+    tracked_close and locking NeedNewKeyFrame into a need_close ->
+    create -> cull loop (1 KF / 2.4 frames)."""
     Z = covisibility.observation_indicator(m)
     obs = jnp.sum(Z, axis=0)                                # [P]
     age = cur_kf - m.pt_ref_kf
@@ -313,7 +325,7 @@ def cull_points(m: MapState, cur_kf: jax.Array) -> MapState:
     ratio_bad = recent & (m.pt_visible >= 4) & \
         (m.pt_found.astype(jnp.float32)
          < 0.25 * m.pt_visible.astype(jnp.float32))
-    young_weak = recent & (age >= 2) & (obs < 3)
+    young_weak = recent & (age >= 2) & (obs < min_obs)
     # points with zero observations are dead regardless of age
     orphan = obs < 1
     cull = m.pt_valid & (ratio_bad | young_weak | orphan)
@@ -357,7 +369,8 @@ def local_mapping_step(m: MapState, kf_slot: jax.Array, *,
                        cfg: SystemConfig) -> MapState:
     cam5 = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
             cfg.camera.bf)
-    m = cull_points(m, kf_slot)
+    m = cull_points(m, kf_slot,
+                    min_obs=3 if cfg.sensor == "mono" else 2)
     m = fuse_neighbors(m, kf_slot, cfg=cfg)
 
     n_fixed = 8

@@ -142,6 +142,8 @@ def slam_step(st: SteadyState, gray: jax.Array, depth: jax.Array,
                       frame_id=fid + 1, key=key)
     diag = dict(diag)
     diag["kf_inserted"] = need
+    diag["kf_trigger"] = (diag["kf_trigger"]
+                          + 8 * new_obj.astype(jnp.int32))
     return out, diag
 
 
@@ -158,6 +160,7 @@ def slam_chunk(st: SteadyState, grays: jax.Array, depths: jax.Array,
                                          kf_every=kf_every)
         return st, {"n_inliers": diag["n_inliers"],
                     "kf_inserted": diag["kf_inserted"],
+                    "kf_trigger": diag["kf_trigger"],
                     "n_ref": diag["n_ref"],
                     "tracked_close": diag["tracked_close"],
                     "untracked_close": diag["untracked_close"],

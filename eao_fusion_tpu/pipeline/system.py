@@ -92,6 +92,8 @@ class System:
         self.n_kf_compactions = 0
         self.n_pt_compactions = 0
         self.events: List[dict] = []   # {"frame_id", "event", ...} records
+        self.next_kf_hint = 0      # host mirror of map.next_kf, refreshed
+                                   # by chunk_epilogue (saves a pull/chunk)
         # online detector lane (`SemanticOnline`: the reference's YOLOX
         # thread, `src/System.cc:112-114`); offline box files are passed
         # straight to process_frame instead
@@ -411,7 +413,7 @@ class System:
         # (unbounded lifetime keyframe insertions; see the method docstring)
         self._maybe_compact_keyframes()
 
-    def _maybe_compact_points(self) -> bool:
+    def _maybe_compact_points(self, next_pt: int = None) -> bool:
         """Point-slot compaction when the insertion cursor runs low — the
         dense-table equivalent of the reference's pointer deletes. MUST run
         in every execution mode: `next_pt` is append-only, so without it
@@ -419,7 +421,9 @@ class System:
         the map starves (`create_points_from_depth` drops writes past
         capacity, `mapping/map_state.py:177`). The round-4 fr3-scale run
         failed exactly this way in chunked mode."""
-        if int(self.map.next_pt) <= 0.9 * self.map.max_pt:
+        if next_pt is None:
+            next_pt = int(self.map.next_pt)
+        if next_pt <= 0.9 * self.map.max_pt:
             return False
         self.map, remap = _compact_points_jit(self.map)
         self.n_pt_compactions += 1
@@ -453,8 +457,15 @@ class System:
         at chunk granularity the BoW+PnP recovery runs on the last
         frame's features). Returns the refreshed SteadyState."""
         self.map, self.track, self.objects = st.m, st.ts, st.objs
-        self.frame_id = int(np.asarray(st.frame_id))
-        self.n_keyframes = int(np.asarray(st.m.next_kf))
+        # ONE batched device->host pull for every scalar the host logic
+        # below gates on: each separate pull pays a full tunnel round
+        # trip (~30 ms measured), and the previous 5-pull structure cost
+        # ~10 ms/frame of pure RTT at the tour's keyframe cadence
+        frame_id, next_kf, next_pt, status, kf_valid_h = jax.device_get(
+            (st.frame_id, st.m.next_kf, st.m.next_pt, st.ts.status,
+             st.m.kf_valid))
+        self.frame_id = int(frame_id)
+        self.n_keyframes = int(next_kf)
         if self.loop_closer is not None and kf_before < self.n_keyframes:
             # anchor: the chunk's newest keyframe (slot indices are the
             # insertion counter until compaction, which runs below)
@@ -486,10 +497,18 @@ class System:
                     last_pose=lie.se3_compose(self.track.last_pose, delta),
                     kp_pt=kp_pt)
         self._poll_gba()
-        pts_compacted = self._maybe_compact_points()
-        self._maybe_compact_keyframes()
+        # compaction triggers use the batched pull (stale only in the
+        # closed-a-loop case, where fusion can only SHRINK the tables)
+        pts_compacted = self._maybe_compact_points(next_pt=int(next_pt))
+        kfs_compacted = self._maybe_compact_keyframes(
+            next_kf=self.n_keyframes, kf_valid=kf_valid_h)
+        # host-side hint of the map's insertion cursor so drivers can pass
+        # the next chunk's kf_before without a device pull (one extra RTT
+        # only on the rare compaction chunk)
+        self.next_kf_hint = (int(np.asarray(self.map.next_kf))
+                             if kfs_compacted else self.n_keyframes)
 
-        if (int(self.track.status) == tracking.STATUS_LOST
+        if (int(status) == tracking.STATUS_LOST
                 and self.loop_closer is not None):
             from eao_fusion_tpu.pipeline import relocalization
             pose, kp_pt = relocalization.relocalize(
@@ -521,7 +540,8 @@ class System:
                            last_fo=last_fo,
                            frame_id=jnp.int32(self.frame_id))
 
-    def _maybe_compact_keyframes(self) -> bool:
+    def _maybe_compact_keyframes(self, next_kf: int = None,
+                                 kf_valid: np.ndarray = None) -> bool:
         """Keyframe-slot lifecycle (the reference's erase-forever pointer
         graph, `src/LocalMapping.cc:636` / `src/KeyFrame.cc:489`, as a
         dense-table compaction): when insertion slots run low, reclaim the
@@ -532,9 +552,13 @@ class System:
         compaction); all keyframe-slot references — map tables, tracking
         state, BoW matrix, loop edges, trajectory refs — are remapped."""
         m = self.map
-        if int(m.next_kf) < int(0.9 * m.max_kf):
+        if next_kf is None:
+            next_kf = int(m.next_kf)
+        if next_kf < int(0.9 * m.max_kf):
             return False
-        live = int(np.asarray(m.kf_valid).sum())
+        if kf_valid is None:
+            kf_valid = np.asarray(m.kf_valid)
+        live = int(kf_valid.sum())
         target_live = int(0.7 * m.max_kf)
         if live > int(0.8 * m.max_kf):
             # bucket n_evict to a multiple of 8: one compiled variant

@@ -230,9 +230,13 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
     ref_kf = jnp.argmax(Z @ found.astype(jnp.float32)).astype(jnp.int32)
     # nRefMatches = ref-KF map points with >= minObs keyframe observations
     # (KeyFrame::TrackedMapPoints semantics, minObs = 3 once the map has
-    # more than 2 KFs — `src/Tracking.cc:2330-2334`)
+    # more than 2 KFs — `src/Tracking.cc:2330-2334`). An RGBD/stereo
+    # observation counts DOUBLE in the reference (`nObs += 2`,
+    # `src/MapPoint.cc:106`), so nObs >= 3 means 2 distinct keyframes
+    # for RGBD, 3 for mono.
     pt_obs = jnp.sum(Z, axis=0)                       # [P] obs counts
-    min_obs = jnp.where(m.next_kf <= 2, 1.0, 3.0)
+    mature_obs = 3.0 if cfg.sensor == "mono" else 2.0
+    min_obs = jnp.where(m.next_kf <= 2, 1.0, mature_obs)
     ref_pts = m.kf_pt_idx[ref_kf]
     ref_ok = (ref_pts >= 0) & (pt_obs[jnp.clip(ref_pts, 0, None)] >= min_obs)
     n_ref = jnp.sum(ref_ok.astype(jnp.int32))
@@ -274,7 +278,13 @@ def track_frame(m: MapState, ts: TrackState, feats: FrameFeatures,
             "n_local_pts": jnp.sum(cand.astype(jnp.int32)),
             "n_kf_local": jnp.sum(kf_local.astype(jnp.int32)),
             "n_ref": n_ref, "tracked_close": tracked_close,
-            "untracked_close": untracked_close}
+            "untracked_close": untracked_close,
+            # which NeedNewKeyFrame trigger fired (for the cadence
+            # histogram): bit0 = c1 timeout, bit1 = ratio, bit2 =
+            # need_close; object-triggered KFs are bit3, set by the caller
+            "kf_trigger": (c1.astype(jnp.int32)
+                           + 2 * (ratio_ok & (n_in > 15)).astype(jnp.int32)
+                           + 4 * (need_close & (n_in > 15)).astype(jnp.int32))}
     if plane_assoc is not None:
         diag["n_planes_matched"] = jnp.sum((plane_assoc >= 0).astype(jnp.int32))
         diag["plane_assoc"] = plane_assoc

@@ -714,7 +714,10 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
         good = jnp.all(jnp.isfinite(delta_c))
         delta_c = jnp.where(good, delta_c, 0.0)
 
-        t = bp - jnp.einsum("cpij,ci->pj", A, delta_c)
+        # back-substitute through the SAME [C*6, Pw*3] layout used for
+        # the Schur product (one matvec over the existing A2 instead of a
+        # fresh cpij einsum, which forced XLA into a second layout pass)
+        t = bp - (A2.T @ delta_c.reshape(-1)).reshape(Pw, 3)
         delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, t)
         delta_p = jnp.clip(jnp.where(good & prob.pt_valid[:, None],
                                      delta_p, 0.0), -10.0, 10.0)
