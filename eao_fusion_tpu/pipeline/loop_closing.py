@@ -873,84 +873,118 @@ class LoopCloser:
         return out
 
     # ------------------------------------------------------------ driver
-    def on_keyframes(self, m: MapState, slots, key
-                     ) -> Tuple[MapState, int, int]:
-        """Chunk-boundary batch form of on_keyframe: ONE device dispatch
-        per sub-batch of <=64 slots computes the obs-indicator refresh,
-        bow rows, covisibility product and L1 scores; the host
-        gating/consistency logic then runs per slot in insertion order.
-        After any successful correct() the fused stats are RECOMPUTED
-        for the remaining slots, so later slots never gate on stale
-        covisibility/scores — exact serial on_keyframe semantics at
-        closure cost (closures are rare: one extra dispatch each).
-        Returns (map, n_closed, last_closed_slot)."""
+    def dispatch_detect(self, m: MapState, slots) -> Tuple[MapState, dict]:
+        """ASYNC half of batched loop detection: ONE fused device
+        dispatch (obs-indicator refresh + bow rows + covisibility product
+        + L1 scores) for up to 64 keyframe slots, WITHOUT pulling the
+        results — the returned pending handle holds device arrays, so
+        the detection compute overlaps whatever the caller runs next
+        (the next chunk, in the steady chunked mode — the TPU analogue
+        of the reference's always-awake LoopClosing thread,
+        `src/LoopClosing.cc:57-88`). Harvest with harvest_detect."""
+        import time as _time
+        slots = [int(s) for s in slots]
+        assert 0 < len(slots) <= 64
+        # pad the slot list to a fixed bucket so ONE program serves any
+        # chunk (a compile per distinct keyframe count cost minutes each
+        # over the remote-compile tunnel); padding repeats the first
+        # slot, whose bow-row rewrite is idempotent, and the harvest
+        # loop only visits the real slots
+        n_real = len(slots)
+        bucket = 8
+        n = min(((n_real + bucket - 1) // bucket) * bucket, 64)
+        slots_padded = (slots + [slots[0]] * n)[:n]
+        if n not in self._onkf_batch_jit:
+            def _batch(m, slots_a, bow):
+                from eao_fusion_tpu.mapping.map_state import \
+                    refresh_obs_ind
+                m = refresh_obs_ind(m)
+                vs = jax.vmap(
+                    lambda s: vocabulary.bow_vector(
+                        self.vocab, m.kf_desc_pm1[s], m.kf_kp_valid[s])
+                )(slots_a)
+                bow = bow.at[slots_a].set(vs)
+                Z = covisibility.observation_indicator(m)
+                covis = covisibility.covisibility_counts(Z)
+                scores = jax.vmap(
+                    lambda v: vocabulary.l1_scores(v, bow, m.kf_valid)
+                )(vs)
+                return m, bow, scores, covis
+            self._onkf_batch_jit[n] = jax.jit(_batch)
+        t0 = _time.time()
+        m, self.bow, scores_d, covis_d = self._onkf_batch_jit[n](
+            m, jnp.asarray(slots_padded, jnp.int32), self.bow)
+        self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
+            + _time.time() - t0
+        self.stats["n_detect"] = self.stats.get("n_detect", 0) + n_real
+        return m, {"slots": slots, "scores": scores_d, "covis": covis_d}
+
+    def harvest_detect(self, m: MapState, pending: dict, key,
+                       kf_valid=None) -> Tuple[MapState, int, int]:
+        """Pull a pending detection's stats and run the host
+        gating/consistency logic per slot in insertion order; on a
+        candidate, Sim3 + correct() run synchronously against the
+        CURRENT map. After any successful correct() the remaining slots
+        are re-processed through on_keyframes, which recomputes their
+        stats — later slots never gate on stale covisibility/scores.
+        `kf_valid` lets a caller that already pulled the validity mask
+        avoid a second round trip. Returns (map, n_closed, last_slot)."""
         import os
         import time as _time
+        dbg = os.environ.get("EAO_LOOP_DEBUG")
+        scores, covis = jax.device_get(
+            (pending["scores"], pending["covis"]))
+        if kf_valid is None:
+            kf_valid = jax.device_get(m.kf_valid)
+        kf_valid = np.asarray(kf_valid).astype(bool)
+        slots = pending["slots"]
+        for i, slot in enumerate(slots):
+            cand = self._detect_from_stats(slot, scores[i], covis,
+                                           kf_valid, debug=bool(dbg))
+            if cand < 0:
+                continue
+            t0 = _time.time()
+            key, k = jax.random.split(key)
+            g = self.compute_sim3(m, slot, cand, k, debug=bool(dbg))
+            self.stats["t_sim3"] = self.stats.get("t_sim3", 0.0) \
+                + _time.time() - t0
+            self.stats["n_sim3"] = self.stats.get("n_sim3", 0) + 1
+            if g is None:
+                continue
+            t0 = _time.time()
+            m = self.correct(m, slot, cand, g)
+            self.stats["t_correct"] = self.stats.get("t_correct", 0.0) \
+                + _time.time() - t0
+            self.stats["n_correct"] = self.stats.get("n_correct", 0) + 1
+            rest = slots[i + 1:]
+            if rest:
+                key, k = jax.random.split(key)
+                m, nc2, ls2 = self.on_keyframes(m, rest, k)
+                return m, 1 + nc2, (ls2 if ls2 >= 0 else slot)
+            return m, 1, slot
+        return m, 0, -1
+
+    def on_keyframes(self, m: MapState, slots, key
+                     ) -> Tuple[MapState, int, int]:
+        """Synchronous batch form: dispatch + harvest per sub-batch of
+        <=64 slots (semantics of serial on_keyframe calls; a mid-batch
+        closure re-dispatches the remainder with fresh stats via the
+        harvest_detect -> on_keyframes recursion). Returns
+        (map, n_closed, last_closed_slot)."""
         slots = [int(s) for s in slots]
         if not slots:
             return m, 0, -1
-        dbg = os.environ.get("EAO_LOOP_DEBUG")
         n_closed, last_slot = 0, -1
         idx = 0
         while idx < len(slots):
             sub = slots[idx:idx + 64]
-            # pad the slot list to a fixed bucket so ONE program serves
-            # any chunk (a compile per distinct keyframe count cost
-            # minutes each over the remote-compile tunnel); padding
-            # repeats the first slot, whose bow-row rewrite is
-            # idempotent, and the host loop below only visits real slots
-            n_real = len(sub)
-            bucket = 8
-            n = min(((n_real + bucket - 1) // bucket) * bucket, 64)
-            slots_padded = (sub + [sub[0]] * n)[:n]
-            if n not in self._onkf_batch_jit:
-                def _batch(m, slots_a, bow):
-                    from eao_fusion_tpu.mapping.map_state import \
-                        refresh_obs_ind
-                    m = refresh_obs_ind(m)
-                    vs = jax.vmap(
-                        lambda s: vocabulary.bow_vector(
-                            self.vocab, m.kf_desc_pm1[s], m.kf_kp_valid[s])
-                    )(slots_a)
-                    bow = bow.at[slots_a].set(vs)
-                    Z = covisibility.observation_indicator(m)
-                    covis = covisibility.covisibility_counts(Z)
-                    scores = jax.vmap(
-                        lambda v: vocabulary.l1_scores(v, bow, m.kf_valid)
-                    )(vs)
-                    return m, bow, scores, covis
-                self._onkf_batch_jit[n] = jax.jit(_batch)
-            t0 = _time.time()
-            m, self.bow, scores_d, covis_d = self._onkf_batch_jit[n](
-                m, jnp.asarray(slots_padded, jnp.int32), self.bow)
-            scores, covis, kf_valid = jax.device_get(
-                (scores_d, covis_d, m.kf_valid))
-            self.stats["t_detect"] = self.stats.get("t_detect", 0.0) \
-                + _time.time() - t0
-            self.stats["n_detect"] = self.stats.get("n_detect", 0) + n_real
-
-            for i, slot in enumerate(sub):
-                idx += 1
-                cand = self._detect_from_stats(slot, scores[i], covis,
-                                               kf_valid, debug=bool(dbg))
-                if cand < 0:
-                    continue
-                t0 = _time.time()
-                key, k = jax.random.split(key)
-                g = self.compute_sim3(m, slot, cand, k, debug=bool(dbg))
-                self.stats["t_sim3"] = self.stats.get("t_sim3", 0.0) \
-                    + _time.time() - t0
-                self.stats["n_sim3"] = self.stats.get("n_sim3", 0) + 1
-                if g is None:
-                    continue
-                t0 = _time.time()
-                m = self.correct(m, slot, cand, g)
-                self.stats["t_correct"] = self.stats.get("t_correct", 0.0) \
-                    + _time.time() - t0
-                self.stats["n_correct"] = self.stats.get("n_correct", 0) + 1
-                n_closed += 1
-                last_slot = slot
-                break  # re-dispatch: remaining slots need fresh stats
+            m, pending = self.dispatch_detect(m, sub)
+            key, k = jax.random.split(key)
+            m, nc, ls = self.harvest_detect(m, pending, k)
+            n_closed += nc
+            if ls >= 0:
+                last_slot = ls
+            idx += len(sub)
         return m, n_closed, last_slot
 
     def on_keyframe(self, m: MapState, slot: int, key) -> Tuple[MapState, bool]:

@@ -94,6 +94,10 @@ class System:
         self.events: List[dict] = []   # {"frame_id", "event", ...} records
         self.next_kf_hint = 0      # host mirror of map.next_kf, refreshed
                                    # by chunk_epilogue (saves a pull/chunk)
+        self._pending_detect = None  # async loop-detection handle: stats
+                                     # dispatched at the last chunk
+                                     # boundary, harvested at the next
+        self._last_kf_remap = None
         # online detector lane (`SemanticOnline`: the reference's YOLOX
         # thread, `src/System.cc:112-114`); offline box files are passed
         # straight to process_frame instead
@@ -356,7 +360,20 @@ class System:
         pose is rebased through its reference keyframe — the camera-
         relative transform T_c,ref is invariant under map corrections."""
         lc = self.loop_closer
-        if lc is None or lc._gba_thread is None:
+        if lc is None:
+            return False
+        if blocking and self._pending_detect is not None:
+            # flush the in-flight async loop detection before reads (its
+            # correction may itself launch a GBA, joined below)
+            pend, self._pending_detect = self._pending_detect, None
+            anchor = int(np.asarray(self.map.next_kf)) - 1
+            anchor_pose_old = self.map.kf_pose[anchor]
+            self.map, n_closed, _ = lc.harvest_detect(
+                self.map, pend, self._next_key())
+            if n_closed:
+                self.n_loops_closed += n_closed
+                self._apply_loop_delta(anchor, anchor_pose_old)
+        if lc._gba_thread is None:
             return False
         ref = int(self.track.ref_kf)
         before = self.map.kf_pose[ref] if ref >= 0 else None
@@ -413,6 +430,26 @@ class System:
         # (unbounded lifetime keyframe insertions; see the method docstring)
         self._maybe_compact_keyframes()
 
+    def _apply_loop_delta(self, anchor: int, anchor_pose_old) -> None:
+        """Propagate a loop correction to the tracker via the anchor
+        keyframe's pose delta (T' = T ∘ T_aw_old⁻¹ ∘ T_aw_new): the
+        chunk's final frame keeps its in-chunk motion relative to the
+        anchor instead of rewinding to the closed keyframe (which may
+        sit frames earlier and whose kf_pt_idx is keyed to the
+        KEYFRAME's keypoint order, not last_feats'). Point associations
+        survive; ids invalidated by loop fusion are dropped and re-found
+        by the next local-map search."""
+        delta = lie.se3_compose(lie.se3_inverse(anchor_pose_old),
+                                self.map.kf_pose[anchor])
+        kp_pt = self.track.kp_pt
+        kp_pt = jnp.where(
+            (kp_pt >= 0) & self.map.pt_valid[jnp.clip(kp_pt, 0, None)],
+            kp_pt, -1)
+        self.track = self.track._replace(
+            pose=lie.se3_compose(self.track.pose, delta),
+            last_pose=lie.se3_compose(self.track.last_pose, delta),
+            kp_pt=kp_pt)
+
     def _maybe_compact_points(self, next_pt: int = None) -> bool:
         """Point-slot compaction when the insertion cursor runs low — the
         dense-table equivalent of the reference's pointer deletes. MUST run
@@ -466,36 +503,20 @@ class System:
              st.m.kf_valid))
         self.frame_id = int(frame_id)
         self.n_keyframes = int(next_kf)
-        if self.loop_closer is not None and kf_before < self.n_keyframes:
-            # anchor: the chunk's newest keyframe (slot indices are the
-            # insertion counter until compaction, which runs below)
+        lc = self.loop_closer
+        # 1) HARVEST the detection dispatched at the PREVIOUS boundary:
+        # its device work overlapped this chunk's execution (the TPU
+        # analogue of the reference's always-awake LoopClosing thread),
+        # so a loop arising in chunk k is corrected at boundary k+1.
+        if lc is not None and self._pending_detect is not None:
+            pend, self._pending_detect = self._pending_detect, None
             anchor = self.n_keyframes - 1
             anchor_pose_old = self.map.kf_pose[anchor]
-            self.map, n_closed, last_slot = self.loop_closer.on_keyframes(
-                self.map, range(kf_before, self.n_keyframes),
-                self._next_key())
+            self.map, n_closed, _ = lc.harvest_detect(
+                self.map, pend, self._next_key(), kf_valid=kf_valid_h)
             if n_closed:
                 self.n_loops_closed += n_closed
-                # Propagate the correction to the tracker via the anchor
-                # keyframe's pose delta (T' = T ∘ T_aw_old⁻¹ ∘ T_aw_new):
-                # the chunk's final frame keeps its in-chunk motion
-                # relative to the anchor instead of rewinding to the
-                # closed keyframe (which may sit frames earlier and whose
-                # kf_pt_idx is keyed to the KEYFRAME's keypoint order,
-                # not last_feats'). Point associations survive; ids
-                # invalidated by loop fusion are dropped and re-found by
-                # the next local-map search.
-                delta = lie.se3_compose(lie.se3_inverse(anchor_pose_old),
-                                        self.map.kf_pose[anchor])
-                kp_pt = self.track.kp_pt
-                kp_pt = jnp.where(
-                    (kp_pt >= 0)
-                    & self.map.pt_valid[jnp.clip(kp_pt, 0, None)],
-                    kp_pt, -1)
-                self.track = self.track._replace(
-                    pose=lie.se3_compose(self.track.pose, delta),
-                    last_pose=lie.se3_compose(self.track.last_pose, delta),
-                    kp_pt=kp_pt)
+                self._apply_loop_delta(anchor, anchor_pose_old)
         self._poll_gba()
         # compaction triggers use the batched pull (stale only in the
         # closed-a-loop case, where fusion can only SHRINK the tables)
@@ -507,6 +528,27 @@ class System:
         # only on the rare compaction chunk)
         self.next_kf_hint = (int(np.asarray(self.map.next_kf))
                              if kfs_compacted else self.n_keyframes)
+        # 2) DISPATCH detection for THIS chunk's keyframes (async, no
+        # pull) — after compaction so the slot ids in the pending handle
+        # stay current; slots a compaction dropped are skipped
+        if lc is not None and kf_before < self.n_keyframes:
+            new_slots = list(range(kf_before, self.n_keyframes))
+            if kfs_compacted:
+                remap = self._last_kf_remap
+                new_slots = [int(remap[s]) for s in new_slots
+                             if remap[s] >= 0]
+            if len(new_slots) > 64:
+                # oversized chunk: fall back to the synchronous batch path
+                anchor = self.next_kf_hint - 1
+                anchor_pose_old = self.map.kf_pose[anchor]
+                self.map, n_closed, _ = lc.on_keyframes(
+                    self.map, new_slots, self._next_key())
+                if n_closed:
+                    self.n_loops_closed += n_closed
+                    self._apply_loop_delta(anchor, anchor_pose_old)
+            elif new_slots:
+                self.map, self._pending_detect = lc.dispatch_detect(
+                    self.map, new_slots)
 
         if (int(status) == tracking.STATUS_LOST
                 and self.loop_closer is not None):
@@ -577,6 +619,11 @@ class System:
         kf_pose_old = np.asarray(m.kf_pose)
         self.map, remap = _compact_keyframes_jit(m)
         remap_np = np.asarray(remap)
+        self._last_kf_remap = remap_np
+        # a pending async detection is keyed to pre-compaction slot ids:
+        # drop it (the affected keyframes lose one detection opportunity;
+        # compactions are episodic)
+        self._pending_detect = None
         self.n_kf_compactions += 1
         self.events.append({"frame_id": self.frame_id,
                             "event": "kf_compaction",
