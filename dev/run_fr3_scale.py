@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
+    ap.add_argument("--no-prewarm", action="store_true")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -75,6 +76,13 @@ def main():
         if b is not None and len(b):
             out[:min(len(b), len(out))] = b[:len(out)]
         return out
+
+    if not args.no_prewarm:
+        pw = s.prewarm()
+        log(f"[{time.time()-t0:.1f}s] prewarm: compiled episodic program "
+            f"variants in {pw:.1f}s")
+    else:
+        pw = 0.0
 
     st = steady.init_steady_state(s)
     chunk = args.chunk
@@ -163,6 +171,7 @@ def main():
         "lifetime_kf_insertions": int(lifetime_kf),
         "peak_kf_live": int(peak_kf_live),
         "peak_points": int(peak_pts),
+        "prewarm_s": round(float(pw), 1),
         "p50_frame_ms": round(float(np.percentile(per_frame_ms, 50)), 2),
         "p99_frame_ms": round(float(np.percentile(per_frame_ms, 99)), 2),
         "max_frame_ms": round(float(per_frame_ms.max()), 2),

@@ -430,6 +430,58 @@ class System:
         # (unbounded lifetime keyframe insertions; see the method docstring)
         self._maybe_compact_keyframes()
 
+    def prewarm(self, evict_buckets=(8, 16),
+                essential_edge_buckets=(512, 1024)) -> float:
+        """Compile the enumerable EPISODIC program variants before a
+        timed run (round-4 weak #3): the tunneled runtime compiles
+        remotely with no cross-process cache, so each first-encounter
+        program — compaction, eviction buckets, the batched detection
+        bucket, Sim3, essential-graph edge buckets, the GBA stages,
+        relocalization — stalls whichever mid-run chunk first hits it
+        (seconds to minutes each, the entire round-4 p99/p-max tail).
+        All of them are enumerable up front. Every program runs once
+        against the current map; results are DISCARDED (the live map is
+        not mutated). Returns wall seconds spent."""
+        import time as _time
+        t0 = _time.time()
+        m = self.map
+        outs = [_compact_points_jit(m)[0].pt_valid,
+                _compact_keyframes_jit(m)[0].kf_valid]
+        for n_ev in evict_buckets:
+            outs.append(_evict_keyframes_jit(
+                m, n_evict=n_ev,
+                protect_recent=min(10, m.max_kf // 3)).kf_valid)
+        lc = self.loop_closer
+        if lc is not None:
+            _, pend = lc.dispatch_detect(m, [0])
+            outs.append(pend["scores"])
+            # (row-0 bow rewrite is idempotent — kf 0's descriptors are
+            # unchanged — so lc.bow stays correct)
+            cand = max(1, int(np.asarray(m.next_kf)) - 1)
+            lc.compute_sim3(m, 0, cand, self._next_key())
+            from eao_fusion_tpu.solvers import pose_graph
+            K = m.max_kf
+            sim = lie.sim3_from_se3(m.kf_pose)
+            for E in essential_edge_buckets:
+                prob = pose_graph.PoseGraphProblem(
+                    poses=sim, pose_valid=m.kf_valid,
+                    fixed=jnp.zeros((K,), bool).at[0].set(True),
+                    edge_i=jnp.zeros((E,), jnp.int32),
+                    edge_j=jnp.zeros((E,), jnp.int32),
+                    edge_meas=jnp.tile(lie.sim3_identity(), (E, 1)),
+                    edge_weight=jnp.zeros((E,), jnp.float32))
+                outs.append(pose_graph.optimize_pose_graph(
+                    prob, n_iters=self.cfg.loop.pose_graph_iters,
+                    fix_scale=self.cfg.loop.fix_scale_rgbd))
+            prob_g, plane_free = lc._build_gba_problem(m)
+            outs.append(lc._run_gba_stages(prob_g, plane_free).cam_pose)
+            from eao_fusion_tpu.pipeline import relocalization
+            relocalization.relocalize(m, self.track.last_feats, lc.bow,
+                                      lc.vocab, self._next_key(),
+                                      cfg=self.cfg)
+        jax.block_until_ready(outs)
+        return _time.time() - t0
+
     def _apply_loop_delta(self, anchor: int, anchor_pose_old) -> None:
         """Propagate a loop correction to the tracker via the anchor
         keyframe's pose delta (T' = T ∘ T_aw_old⁻¹ ∘ T_aw_new): the
