@@ -139,7 +139,8 @@ def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh, *,
                               plane_free=None,
                               cam: Tuple[float, ...], cfg: SolverConfig,
                               n_iters: int = 10, n_iters1: int = 0,
-                              damping: float = 1e-3) -> BAResult:
+                              damping: float = 1e-3,
+                              obs: "ShardedObs" = None) -> BAResult:
     """Point axis of `prob.pt_xyz` / `pt_valid` must be divisible by the
     size of the mesh's ``lm`` axis. When n_iters1 > 0 runs the production
     two-phase schedule (n_iters1, outlier gate, n_iters). `plane_free`
@@ -150,7 +151,10 @@ def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh, *,
     P_total = prob.pt_xyz.shape[0]
     n_dev = mesh.shape["lm"]
     P_loc = P_total // n_dev
-    obs = partition_observations(prob, n_dev)
+    if obs is None:
+        # host-side numpy partition — callers that trace/lower this
+        # function (the weak-scaling guard tests) pass a precomputed one
+        obs = partition_observations(prob, n_dev)
 
     free_cam = (prob.cam_valid & (~prob.cam_fixed)).astype(jnp.float32)
     pl0 = (plane_free.pl_coeff if plane_free is not None
