@@ -489,6 +489,84 @@ def generate_sequence(n_frames: int = 30, seed: int = 0, style: str = "arc",
     return SyntheticSequence(frames=frames, camera=cam, scene=scene)
 
 
+def apply_nuisance(gray: np.ndarray, depth: np.ndarray,
+                   rng: np.random.Generator, *,
+                   shot_noise: float = 0.0, read_noise: float = 0.0,
+                   exposure: float = 1.0, blur_px: float = 0.0,
+                   depth_holes: float = 0.0, depth_quant: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Photometric / depth sensor nuisance model (round-4 verdict item 5).
+    Every ATE claim before round 5 rode on ideal renders; the reference's
+    canonical workload is a real D435i (`ros_test/config/D435i.yaml`) with
+    shot noise, exposure variation, motion blur, and depth dropouts. This
+    post-processor models those on top of the (cached) clean render:
+
+      shot_noise   Poisson-approx: std = shot_noise * sqrt(signal)
+      read_noise   additive Gaussian std (dark floor)
+      exposure     multiplicative gain (caller drifts it per frame)
+      blur_px      horizontal box motion blur of ~that many pixels
+      depth_holes  fraction of depth dropped in speckle blobs (stereo
+                   dropouts on low-texture / oblique surfaces)
+      depth_quant  disparity-style quantization: step grows as q * z^2
+                   (the D435's error model), in meters at z = 1 m
+    """
+    g = gray.astype(np.float32)
+    if blur_px >= 2.0:
+        k = int(round(blur_px)) | 1
+        ker = np.ones(k, np.float32) / k
+        pad = k // 2
+        gp = np.pad(g, ((0, 0), (pad, pad)), mode="edge")
+        g = np.apply_along_axis(
+            lambda row: np.convolve(row, ker, mode="valid"), 1, gp)
+    g = g * exposure
+    if shot_noise > 0:
+        g = g + rng.normal(0.0, 1.0, g.shape) * shot_noise * np.sqrt(
+            np.clip(g, 0.0, None))
+    if read_noise > 0:
+        g = g + rng.normal(0.0, read_noise, g.shape)
+    g = np.clip(g, 0.0, 1.0).astype(np.float32)
+
+    z = depth.astype(np.float32)
+    if depth_quant > 0:
+        step = depth_quant * np.maximum(z, 1e-6) ** 2
+        z = np.where(z > 0, np.round(z / step) * step, z)
+    if depth_holes > 0:
+        H, W = z.shape
+        blob = rng.random((H // 8 + 1, W // 8 + 1))
+        blob = np.kron(blob, np.ones((8, 8)))[:H, :W]
+        z = np.where(blob < depth_holes, 0.0, z)
+    return g, z.astype(np.float32)
+
+
+#: named nuisance profiles used by the robustness suite and NOTES tables
+NUISANCE_PROFILES = {
+    "shot":     dict(shot_noise=0.04, read_noise=0.01),
+    "exposure": dict(),   # drift handled per frame by nuisance_sequence
+    "blur":     dict(blur_px=5.0),
+    "depth":    dict(depth_holes=0.15, depth_quant=0.0015),
+    "combo":    dict(shot_noise=0.03, read_noise=0.008, blur_px=3.0,
+                     depth_holes=0.10, depth_quant=0.0015),
+}
+
+
+def nuisance_sequence(seq: SyntheticSequence, profile: str,
+                      seed: int = 0) -> SyntheticSequence:
+    """A copy of `seq` with the named nuisance profile applied per frame.
+    The `exposure`/`combo` profiles add a sinusoidal exposure drift
+    (+-25% over ~40 frames — auto-exposure hunting)."""
+    kw = dict(NUISANCE_PROFILES[profile])
+    rng = np.random.default_rng(seed + 77)
+    drift = profile in ("exposure", "combo")
+    frames = []
+    for i, f in enumerate(seq.frames):
+        exp = 1.0 + (0.25 * np.sin(2 * np.pi * i / 40.0) if drift else 0.0)
+        g, z = apply_nuisance(f.gray, f.depth, rng, exposure=exp, **kw)
+        frames.append(SyntheticFrame(gray=g, depth=z, tcw=f.tcw,
+                                     timestamp=f.timestamp, boxes=f.boxes))
+    return SyntheticSequence(frames=frames, camera=seq.camera,
+                             scene=seq.scene)
+
+
 def render_right_images(seq: SyntheticSequence, seed: int = 0,
                         cache_dir: Optional[str] = None) -> np.ndarray:
     """Rectified right-eye grays for an existing sequence: the right camera
