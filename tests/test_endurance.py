@@ -1,13 +1,15 @@
-"""Long-sequence endurance (VERDICT round-1 item 7): 500+ frames through
-the full pipeline with deliberately tight table capacities, exercising
-point-table compaction, keyframe-culling pressure, and continued tracking
-after culling — the capacity story for fr3_long_office-scale sequences
-(~2500 frames) at test-feasible cost.
+"""Long-sequence endurance (VERDICT round-1 item 7, rewritten round 5):
+500+ DISTINCT frames through the full pipeline with deliberately tight
+table capacities, exercising point-table compaction, keyframe culling,
+capacity eviction, and continued tracking — the capacity story for
+fr3_long_office-scale sequences (~2500 frames) at test-feasible cost.
 
-The sequence is a repeated arc: the cached 24-frame arc traversed
-forward-backward-forward-... (the camera retraces its own path, so motion
-stays smooth at the turnarounds and every revisit adds redundant
-observations — maximum culling pressure per frame of runtime)."""
+Round-3/4 versions replayed the same 24-frame arc (every "new" frame a
+revisit — the easiest possible endurance, flagged by two verdicts). The
+sequence is now the first 506 frames of the 625-frame TOUR lap: ~80% of
+a full room circuit of genuinely novel views, so keyframes keep arriving
+for the whole run and the 24-slot table must cull/evict/compact
+continuously while odometry stays tight."""
 
 import numpy as np
 import pytest
@@ -20,11 +22,9 @@ from eao_fusion_tpu.pipeline.system import System
 @pytest.mark.slow
 def test_endurance_500_frames():
     base = synthetic.generate_sequence(
-        n_frames=24, seed=0, style="arc",
+        n_frames=625, seed=0, style="tour",
         cache_dir=synthetic.DEFAULT_CACHE)
-    fwd = list(range(24))
-    cycle = fwd + fwd[-2:0:-1]                    # 46 steps, ends at idx 1
-    order = [i for _ in range(11) for i in cycle][:506]
+    order = list(range(506))
 
     cfg = SystemConfig(
         orb=ORBConfig(n_features=500, max_keypoints=512),
