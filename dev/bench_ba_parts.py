@@ -98,11 +98,17 @@ def main():
         log(f"{name:40s} {dt:8.3f} ms")
         return dt
 
+    camohT = cam_onehot.T
+    ptohT = (tgt0[:, None] == jnp.arange(Pw, dtype=jnp.int32)[None, :]
+             ).astype(jnp.float32)
+    gather_oh = (camohT, ptohT)
+
     def upto(stage):
         def f(lam):
             cam_pose = prob.cam_pose.at[:, 4].add(lam * 0.1)
             pt_xyz = prob.pt_xyz
-            r, J_c, J_p, stereo, behind = ba._residuals_coo(cam_pose, pt_xyz, prob, cam5, cam_oh_T, pt_oh_T)
+            r, J_c, J_p, stereo, behind = ba._residuals_coo(
+                cam_pose, pt_xyz, prob, cam5, gather_oh)
             if stage == 0:
                 return jnp.sum(r)
             c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
@@ -110,26 +116,32 @@ def main():
             w_rob = jnp.minimum(1.0, jnp.sqrt(delta2 / jnp.maximum(c2, 1e-12)))
             w = (prob.obs_inv_sigma2 * w_rob * active.astype(jnp.float32)
                  * (1.0 - behind.astype(jnp.float32)))
-            w_c = w * free_cam[prob.obs_cam]
-            Hcc = jnp.einsum("ce,eij->cij", cam_onehot,
-                             jnp.einsum("eri,e,erj->eij", J_c, w_c, J_c),
-                             preferred_element_type=jnp.float32)
-            bc = -jnp.einsum("ce,ei->ci", cam_onehot,
-                             jnp.einsum("eri,e,er->ei", J_c, w_c, r),
-                             preferred_element_type=jnp.float32)
+            fm = jnp.dot(camohT, free_cam[:, None],
+                         preferred_element_type=jnp.float32)
+            J_cf = J_c * fm[:, :, None]
+            J_all = jnp.concatenate([J_cf, J_p], axis=-1)
+            G = jnp.einsum("eri,e,erj->eij", J_all, w, J_all,
+                           preferred_element_type=jnp.float32)
+            g = jnp.einsum("eri,e,er->ei", J_all, w, r,
+                           preferred_element_type=jnp.float32)
+            pay_c = jnp.concatenate(
+                [G[:, :6, :6].reshape(E, 36), g[:, :6]], axis=-1)
+            acc_c = jnp.dot(cam_onehot, pay_c,
+                            preferred_element_type=jnp.float32)
+            Hcc = acc_c[:, :36].reshape(C, 6, 6)
+            bc = -acc_c[:, 36:]
             if stage == 1:
                 return jnp.sum(Hcc) + jnp.sum(bc)
-            Gp_e = jnp.einsum("eri,e,erj->eij", J_p, w, J_p)
-            gp_e = jnp.einsum("eri,e,er->ei", J_p, w, r)
-            packed = jnp.concatenate([Gp_e.reshape(E, 9), gp_e], -1)
-            acc = jnp.dot(pt_onehot, packed, preferred_element_type=jnp.float32)
+            pay_p = jnp.concatenate(
+                [G[:, 6:, 6:].reshape(E, 9), g[:, 6:]], axis=-1)
+            acc = jnp.dot(pt_onehot, pay_p, preferred_element_type=jnp.float32)
             Hpp = acc[:, :9].reshape(Pw, 3, 3)
             bp = -acc[:, 9:]
             Hpp = Hpp + (lam + 1e-6) * jnp.eye(3, dtype=jnp.float32)
             Hpp_inv = jnp.where(prob.pt_valid[:, None, None], ba._inv3x3(Hpp), 0.0)
             if stage == 2:
                 return jnp.sum(Hpp_inv) + jnp.sum(bp)
-            Y = jnp.einsum("eri,e,erj->eij", J_c, w_c, J_p)
+            Y = G[:, :6, 6:]
             A = _pad_e(Y)[lut]
             if stage == 3:
                 return jnp.sum(A)

@@ -159,6 +159,11 @@ class SolverConfig:
     # (solvers/pose_opt_pallas.py); the XLA path is used on CPU and as the
     # reference implementation for the parity test.
     use_pallas_pose: bool = True
+    # Fuse the local-BA per-edge residual/Jacobian/Gram chain into one
+    # Pallas kernel on TPU (solvers/ba_edge_pallas.py) — the chain is
+    # ~20 tiny XLA kernels otherwise and per-kernel issue latency
+    # dominates the LM iteration. XLA path on CPU / as parity reference.
+    use_pallas_ba_edges: bool = True
 
 
 @dataclass(frozen=True)

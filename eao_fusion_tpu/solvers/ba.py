@@ -569,13 +569,36 @@ class BACooProblem(NamedTuple):
     obs_valid: jax.Array   # [E] bool
 
 
-def _residuals_coo(cam_pose, pt_xyz, prob: "BACooProblem", cam):
-    """Per-edge residuals r [E,3] and Jacobians J_c [E,3,6], J_p [E,3,3]."""
+def _residuals_coo(cam_pose, pt_xyz, prob: "BACooProblem", cam,
+                   gather_oh=None):
+    """Per-edge residuals r [E,3] and Jacobians J_c [E,3,6], J_p [E,3,3].
+
+    `gather_oh` = (camohT [E,C], ptohT [E,Pw]) one-hot gather operands:
+    row gathers on TPU serialize (~0.4 us/row — the same wall as the
+    patch gather, NOTES_R4), so the edge-wise pose/point lookups run as
+    one-hot matmuls on the MXU instead (exact: operands are 0/1), and the
+    per-edge rotation matrices come from C=32 quaternion conversions
+    broadcast through the same matmul rather than E=8192 conversions.
+    Measured: 1.41 -> 0.23 ms for the residual+Jacobian stage at
+    C=32/Pw=2048/E=8192 (dev/bench_ba_parts.py)."""
     fx, fy, cx, cy, bf = cam
-    pw = pt_xyz[prob.obs_pt]                        # [E, 3]
-    poses = cam_pose[prob.obs_cam]                  # [E, 7]
-    R = lie.quat_to_rotmat(poses[:, :4])            # [E, 3, 3]
-    xc = jnp.einsum("eij,ej->ei", R, pw) + poses[:, 4:7]
+    if gather_oh is not None:
+        camohT, ptohT = gather_oh
+        R_c = lie.quat_to_rotmat(cam_pose[:, :4])   # [C, 3, 3]
+        camblk = jnp.concatenate(
+            [R_c.reshape(-1, 9), cam_pose[:, 4:7]], axis=-1)
+        eblk = jnp.dot(camohT, camblk,
+                       preferred_element_type=jnp.float32)   # [E, 12]
+        R = eblk[:, :9].reshape(-1, 3, 3)
+        tr = eblk[:, 9:12]
+        pw = jnp.dot(ptohT, pt_xyz,
+                     preferred_element_type=jnp.float32)     # [E, 3]
+    else:
+        pw = pt_xyz[prob.obs_pt]                    # [E, 3]
+        poses = cam_pose[prob.obs_cam]              # [E, 7]
+        R = lie.quat_to_rotmat(poses[:, :4])        # [E, 3, 3]
+        tr = poses[:, 4:7]
+    xc = jnp.einsum("eij,ej->ei", R, pw) + tr
     x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
     z = jnp.maximum(z, 1e-6)
     iz = 1.0 / z
@@ -601,15 +624,23 @@ def _residuals_coo(cam_pose, pt_xyz, prob: "BACooProblem", cam):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters1",
-                                             "n_iters2", "ftol"))
+                                             "n_iters2", "ftol",
+                                             "edge_kernel",
+                                             "edge_interpret"))
 @f32_matmuls
 def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
                       cam: Tuple[float, ...], cfg: SolverConfig,
                       n_iters1: int = 5, n_iters2: int = 10,
-                      damping: float = 1e-3, ftol: float = 1e-4) -> BAResult:
+                      damping: float = 1e-3, ftol: float = 1e-4,
+                      edge_kernel: Optional[bool] = None,
+                      edge_interpret: bool = False) -> BAResult:
     """Two-phase LM BA on the COO layout. `plane_block` =
     (plane_w [C,F,4], meas_c [C,F,4], valid [C,F]) adds fixed-plane camera
-    factors as in `bundle_adjust`. Returns BAResult with obs_inlier [E]."""
+    factors as in `bundle_adjust`. Returns BAResult with obs_inlier [E].
+
+    `edge_kernel` overrides the cfg/backend choice of the fused Pallas
+    per-edge pass (solvers/ba_edge_pallas.py); `edge_interpret` runs that
+    kernel under the Pallas interpreter (CPU parity tests)."""
     C = prob.cam_pose.shape[0]
     Pw = prob.pt_xyz.shape[0]
     E = prob.obs_cam.shape[0]
@@ -639,62 +670,129 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
     # (~0.35 ms at HBM bandwidth).
     pt_onehot = (tgt0[None, :] == jnp.arange(Pw, dtype=jnp.int32)[:, None]
                  ).astype(jnp.float32)                      # [Pw, E]
+    # transposed copies for the edge-wise gathers inside _residuals_coo
+    # (materialized once per call; a dot_general contraction on the other
+    # orientation would re-layout the 64 MB operand every iteration)
+    camohT = cam_onehot.T                                   # [E, C]
+    ptohT = (tgt0[:, None] == jnp.arange(Pw, dtype=jnp.int32)[None, :]
+             ).astype(jnp.float32)                          # [E, Pw]
+    gather_oh = (camohT, ptohT)
 
     def _pad_e(x):
         return jnp.concatenate(
             [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
 
+    # ---- fused Pallas per-edge pass (TPU): the residual/Jacobian/Gram
+    # chain below is ~20 tiny XLA kernels and per-kernel issue latency
+    # dominates (dev/bench_ba_parts.py). One kernel computes the packed
+    # payloads; the one-hot reductions stay on the MXU. ----
+    use_edge = (edge_kernel if edge_kernel is not None
+                else (cfg.use_pallas_ba_edges and E % 128 == 0
+                      and jax.default_backend() == "tpu"))
+    if use_edge:
+        from eao_fusion_tpu.solvers import ba_edge_pallas
+        fm_e = jnp.dot(free_cam[None, :], cam_onehot,
+                       preferred_element_type=jnp.float32)      # [1, E]
+        ein_static = jnp.concatenate(
+            [prob.obs_uv.T, prob.obs_ur[None, :],
+             prob.obs_inv_sigma2[None, :], fm_e], axis=0)       # [5, E]
+
+        def build_ein(cam_pose, pt_xyz):
+            R_c = lie.quat_to_rotmat(cam_pose[:, :4])
+            camblk = jnp.concatenate(
+                [R_c.reshape(-1, 9), cam_pose[:, 4:7]], axis=-1)
+            eblk = jnp.dot(camblk.T, cam_onehot,
+                           preferred_element_type=jnp.float32)  # [12, E]
+            pwt = jnp.dot(pt_xyz.T, pt_onehot,
+                          preferred_element_type=jnp.float32)   # [3, E]
+            return jnp.concatenate([eblk, pwt, ein_static], axis=0)
+
     def robust_chi2(cam_pose, pt_xyz, active):
-        r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
-        c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-        delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
-        c2r = jnp.where(c2 <= delta2, c2,
-                        2.0 * jnp.sqrt(delta2 * c2) - delta2)
-        w = active.astype(jnp.float32) * (1.0 - behind.astype(jnp.float32))
-        total = jnp.sum(c2r * w)
+        if use_edge:
+            ein = build_ein(cam_pose, pt_xyz)
+            c2r_masked, _, _ = ba_edge_pallas.edge_pass_chi2(
+                ein, active.astype(jnp.float32), cam=cam,
+                chi2_mono=cfg.chi2_mono, chi2_stereo=cfg.chi2_stereo,
+                interpret=edge_interpret)
+            total = jnp.sum(c2r_masked)
+        else:
+            r, _, _, stereo, behind = _residuals_coo(
+                cam_pose, pt_xyz, prob, cam, gather_oh)
+            c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+            delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+            c2r = jnp.where(c2 <= delta2, c2,
+                            2.0 * jnp.sqrt(delta2 * c2) - delta2)
+            w = (active.astype(jnp.float32)
+                 * (1.0 - behind.astype(jnp.float32)))
+            total = jnp.sum(c2r * w)
         if plane_block is not None:
             total = total + _plane_terms(cam_pose, *plane_block, cfg)[-1]
         return total
 
     def gn_iter(cam_pose, pt_xyz, active, lam):
-        r, J_c, J_p, stereo, behind = _residuals_coo(cam_pose, pt_xyz,
-                                                     prob, cam)
-        c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-        delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
-        w_rob = jnp.minimum(1.0, jnp.sqrt(delta2 / jnp.maximum(c2, 1e-12)))
-        w = (prob.obs_inv_sigma2 * w_rob * active.astype(jnp.float32)
-             * (1.0 - behind.astype(jnp.float32)))
-        w_c = w * free_cam[prob.obs_cam]
+        if use_edge:
+            ein = build_ein(cam_pose, pt_xyz)
+            payc_t, payp_t, y_t = ba_edge_pallas.edge_pass_full(
+                ein, active.astype(jnp.float32), cam=cam,
+                chi2_mono=cfg.chi2_mono, chi2_stereo=cfg.chi2_stereo,
+                interpret=edge_interpret)
+            acc_c = jax.lax.dot_general(
+                cam_onehot, payc_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [C, 42]
+            acc = jax.lax.dot_general(
+                pt_onehot, payp_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [Pw, 12]
+            Y = y_t.T.reshape(E, 6, 3)
+        else:
+            r, J_c, J_p, stereo, behind = _residuals_coo(
+                cam_pose, pt_xyz, prob, cam, gather_oh)
+            c2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+            delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
+            w_rob = jnp.minimum(
+                1.0, jnp.sqrt(delta2 / jnp.maximum(c2, 1e-12)))
+            w = (prob.obs_inv_sigma2 * w_rob * active.astype(jnp.float32)
+                 * (1.0 - behind.astype(jnp.float32)))
 
-        # Hcc/bc: one-hot matmuls on the MXU ([C, E] @ [E, ...])
-        Hcc = jnp.einsum(
-            "ce,eij->cij", cam_onehot,
-            jnp.einsum("eri,e,erj->eij", J_c, w_c, J_c),
-            preferred_element_type=jnp.float32)
-        bc = -jnp.einsum(
-            "ce,ei->ci", cam_onehot,
-            jnp.einsum("eri,e,er->ei", J_c, w_c, r),
-            preferred_element_type=jnp.float32)
+            # One packed Gram pass for every normal-equation block.
+            # free_cam is 0/1, so pre-masking J_c applies the
+            # fixed-camera gate to all J_c-bearing terms at once
+            # (f^2 = f): Hcc, bc, and the cross block Y all come out
+            # with the w_c = w * free_cam weighting the unpacked version
+            # used, while Hpp/bp keep plain w.
+            fm = jnp.dot(camohT, free_cam[:, None],
+                         preferred_element_type=jnp.float32)    # [E, 1]
+            J_cf = J_c * fm[:, :, None]
+            J_all = jnp.concatenate([J_cf, J_p], axis=-1)       # [E,3,9]
+            G = jnp.einsum("eri,e,erj->eij", J_all, w, J_all,
+                           preferred_element_type=jnp.float32)  # [E,9,9]
+            g = jnp.einsum("eri,e,er->ei", J_all, w, r,
+                           preferred_element_type=jnp.float32)  # [E,9]
+
+            # camera blocks: ONE [C, E] @ [E, 42] one-hot MXU matmul
+            pay_c = jnp.concatenate(
+                [G[:, :6, :6].reshape(E, 36), g[:, :6]], axis=-1)
+            acc_c = jnp.dot(cam_onehot, pay_c,
+                            preferred_element_type=jnp.float32)  # [C,42]
+            # point blocks: ONE [Pw, E] @ [E, 12] one-hot matmul
+            pay_p = jnp.concatenate(
+                [G[:, 6:, 6:].reshape(E, 9), g[:, 6:]], axis=-1)
+            acc = jnp.dot(pt_onehot, pay_p,
+                          preferred_element_type=jnp.float32)   # [Pw,12]
+            Y = G[:, :6, 6:]                                    # [E,6,3]
+
+        Hcc = acc_c[:, :36].reshape(C, 6, 6)
+        bc = -acc_c[:, 36:]
         if plane_block is not None:
             Hp, bp_c, _ = _plane_terms(cam_pose, *plane_block, cfg)
             Hcc = Hcc + Hp * free_cam[:, None, None]
             bc = bc + bp_c * free_cam[:, None]
 
-        # Hpp/bp: per-edge blocks reduced into point bins by the [Pw, E]
-        # one-hot on the MXU (edges outside `active` have w=0)
-        Gp_e = jnp.einsum("eri,e,erj->eij", J_p, w, J_p)        # [E,3,3]
-        gp_e = jnp.einsum("eri,e,er->ei", J_p, w, r)            # [E,3]
-        packed = jnp.concatenate(
-            [Gp_e.reshape(E, 9), gp_e], axis=-1)                # [E,12]
-        acc = jnp.dot(pt_onehot, packed,
-                      preferred_element_type=jnp.float32)       # [Pw,12]
         Hpp = acc[:, :9].reshape(Pw, 3, 3)
         bp = -acc[:, 9:]
         Hpp = Hpp + (lam + 1e-6) * jnp.eye(3, dtype=jnp.float32)
         Hpp_inv = jnp.where(prob.pt_valid[:, None, None], _inv3x3(Hpp), 0.0)
 
         # A = Hcp, gathered (not scattered) into the dense [C, Pw] grid
-        Y = jnp.einsum("eri,e,erj->eij", J_c, w_c, J_p)         # [E,6,3]
         A = _pad_e(Y)[lut]                                      # [C,Pw,6,3]
         AH = jnp.einsum("cpij,pjk->cpik", A, Hpp_inv)
         AH2 = AH.transpose(0, 2, 1, 3).reshape(C * 6, Pw * 3)
@@ -758,19 +856,30 @@ def bundle_adjust_coo(prob: BACooProblem, plane_block=None, *,
                          jnp.int32(0), c0))
         return cp, ps
 
+    def classify(cam_pose, pt_xyz, thr):
+        """Raw chi2 + behind-camera flag for the between-phase outlier
+        gate (`src/Optimizer.cc:965-1007` edge reclassification)."""
+        if use_edge:
+            ein = build_ein(cam_pose, pt_xyz)
+            _, chi2, behind_f = ba_edge_pallas.edge_pass_chi2(
+                ein, obs_ok0.astype(jnp.float32), cam=cam,
+                chi2_mono=cfg.chi2_mono, chi2_stereo=cfg.chi2_stereo,
+                interpret=edge_interpret)
+            behind = behind_f > 0.5
+        else:
+            r, _, _, _, behind = _residuals_coo(cam_pose, pt_xyz, prob,
+                                                cam, gather_oh)
+            chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+        return obs_ok0 & (chi2 <= thr) & (~behind), chi2
+
+    thr = jnp.where(prob.obs_ur >= 0.0, cfg.chi2_stereo, cfg.chi2_mono)
+
     cam_pose, pt_xyz = run_phase(prob.cam_pose, prob.pt_xyz, obs_ok0,
                                  n_iters1)
-
-    r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
-    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-    thr = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
-    inlier = obs_ok0 & (chi2 <= thr) & (~behind)
+    inlier, _ = classify(cam_pose, pt_xyz, thr)
 
     cam_pose, pt_xyz = run_phase(cam_pose, pt_xyz, inlier, n_iters2)
-
-    r, _, _, stereo, behind = _residuals_coo(cam_pose, pt_xyz, prob, cam)
-    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-    inlier = obs_ok0 & (chi2 <= thr) & (~behind)
+    inlier, chi2 = classify(cam_pose, pt_xyz, thr)
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(cam_pose=cam_pose, pt_xyz=pt_xyz,
                     obs_inlier=inlier, chi2=total)

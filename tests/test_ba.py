@@ -293,3 +293,45 @@ def test_observation_sharding_balances_compute():
     # fixture's id-ordered slot fill skews low point ids, so allow 2x
     assert per_dev.max() <= 2.0 * total / n_dev
     assert obs.valid.shape[1] <= max(512, 0.3 * total)  # 512 = pad floor
+
+
+def dense_to_coo(prob):
+    """Flatten a dense [C, N] BAProblem into the COO layout used by
+    local BA (E = C*N slots, camera-major order)."""
+    C, N = prob.obs_pt.shape
+    obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), N)
+    return ba.BACooProblem(
+        cam_pose=prob.cam_pose, cam_valid=prob.cam_valid,
+        cam_fixed=prob.cam_fixed, pt_xyz=prob.pt_xyz,
+        pt_valid=prob.pt_valid, obs_cam=obs_cam,
+        obs_pt=prob.obs_pt.reshape(-1),
+        obs_uv=prob.obs_uv.reshape(-1, 2),
+        obs_ur=prob.obs_ur.reshape(-1),
+        obs_inv_sigma2=prob.obs_inv_sigma2.reshape(-1),
+        obs_valid=prob.obs_valid.reshape(-1))
+
+
+class TestEdgeKernelParity:
+    """The fused Pallas per-edge pass (solvers/ba_edge_pallas.py) must
+    reproduce the XLA COO path: same payload math, same robust chi2,
+    same LM trajectory."""
+
+    def test_coo_edge_kernel_matches_xla(self):
+        r = np.random.default_rng(7)
+        prob, cams_gt, _ = make_ba_problem(r, noise_px=0.4)
+        coo = dense_to_coo(prob)
+        res_x = ba.bundle_adjust_coo(coo, None, cam=CAM, cfg=CFG,
+                                     edge_kernel=False)
+        res_p = ba.bundle_adjust_coo(coo, None, cam=CAM, cfg=CFG,
+                                     edge_kernel=True, edge_interpret=True)
+        # identical accept/reject path => near-identical results (f32
+        # matmul-order differences only)
+        assert cam_rmse(res_p.cam_pose, np.asarray(res_x.cam_pose)) < 1e-4
+        np.testing.assert_allclose(float(res_p.chi2), float(res_x.chi2),
+                                   rtol=1e-3)
+        agree = np.mean(np.asarray(res_p.obs_inlier)
+                        == np.asarray(res_x.obs_inlier))
+        assert agree > 0.995
+        # and it still solves the problem
+        assert cam_rmse(res_p.cam_pose, cams_gt) < \
+            cam_rmse(coo.cam_pose, cams_gt) * 0.3
