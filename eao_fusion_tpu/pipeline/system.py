@@ -431,7 +431,7 @@ class System:
         self._maybe_compact_keyframes()
 
     def prewarm(self, evict_buckets=(8, 16),
-                essential_edge_buckets=(512, 1024)) -> float:
+                essential_edge_buckets=(512, 1024, 2048, 4096)) -> float:
         """Compile the enumerable EPISODIC program variants before a
         timed run (round-4 weak #3): the tunneled runtime compiles
         remotely with no cross-process cache, so each first-encounter
@@ -479,6 +479,24 @@ class System:
             relocalization.relocalize(m, self.track.last_feats, lc.bow,
                                       lc.vocab, self._next_key(),
                                       cfg=self.cfg)
+            # one full synthetic loop correction on a DISCARDED map copy:
+            # compiles the window propagation, loop point/plane fusion,
+            # and correction-epilogue programs a real closure hits first
+            # (measured 170 s of first-correction compiles in the round-5
+            # fr3 runs — loop stats t_correct was ~180 s total whether 2
+            # or 5 closures fired, i.e. almost all of it was one-time
+            # compilation). MapState is immutable, so only the loop
+            # closer's own bookkeeping needs save/restore.
+            save = (lc.last_loop_kf, list(lc.loop_edges),
+                    list(lc.consistent_groups), dict(lc.stats))
+            cur = max(1, int(np.asarray(m.next_kf)) - 1)
+            try:
+                lc.correct(m, cur, 0, lie.sim3_identity())
+            finally:
+                lc.abort_gba()      # drop the async GBA the synthetic
+                                    # correction launched
+                (lc.last_loop_kf, lc.loop_edges,
+                 lc.consistent_groups, lc.stats) = save
         jax.block_until_ready(outs)
         return _time.time() - t0
 
